@@ -1,0 +1,114 @@
+"""Bilinear sampling and flow-based warping (XLA gather based).
+
+TPU-native replacement for every `torch.nn.functional.grid_sample` use in the
+reference (lite_flow_net.py:28, deep_flow.py:183, depth_consistency.py:106,
+hd3_ops.py:47). Convention differences, by design:
+
+* layout is NHWC (TPU-friendly), not NCHW;
+* sample coordinates are in *pixel units* ([x, y]), not [-1, 1]-normalized —
+  the reference normalizes only so torch can immediately denormalize
+  (torch 1.1 grid_sample has align_corners=True semantics, so
+  ``x_pix = (x_norm + 1) / 2 * (W - 1)``: working in pixels is exactly
+  equivalent and skips two elementwise passes).
+"""
+
+import jax.numpy as jnp
+
+
+def coords_grid(h, w, dtype=jnp.float32):
+    """(array, [HxWx2]) pixel grid holding [x, y] per pixel."""
+    x = jnp.arange(w, dtype=dtype)
+    y = jnp.arange(h, dtype=dtype)
+    xv, yv = jnp.meshgrid(x, y)
+    return jnp.stack([xv, yv], axis=-1)
+
+
+def flow_to_coords(flow):
+    """Flow ([...xHxWx2], [x, y]) -> absolute sample coordinates (pixels).
+
+    Equivalent of the reference's FlowToPix layer
+    (depth/monodepth2/layers.py:193-229) without the [-1,1] normalization.
+    """
+    h, w = flow.shape[-3], flow.shape[-2]
+    return flow + coords_grid(h, w, flow.dtype)
+
+
+def grid_sample(src, coords, padding_mode="zeros"):
+    """Bilinear sampling of ``src`` at pixel coordinates ``coords``.
+
+    Args:
+        src: (array, [NxHxWxC]) source image/feature map.
+        coords: (array, [NxH'xW'x2]) sample locations as [x, y] in pixels of
+            ``src``'s frame.
+        padding_mode: 'zeros' (out-of-bounds reads 0) or 'border' (clamped),
+            matching torch grid_sample's modes.
+
+    Returns:
+        (array, [NxH'xW'xC]) sampled values.
+    """
+    n, h, w, c = src.shape
+    x = coords[..., 0]
+    y = coords[..., 1]
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    x1 = x0 + 1.0
+    y1 = y0 + 1.0
+
+    wx1 = x - x0
+    wx0 = 1.0 - wx1
+    wy1 = y - y0
+    wy0 = 1.0 - wy1
+
+    if padding_mode == "zeros":
+        # validity per corner, before clamping
+        def corner_mask(xi, yi):
+            return (
+                (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
+            ).astype(src.dtype)
+
+        masks = [
+            corner_mask(x0, y0),
+            corner_mask(x1, y0),
+            corner_mask(x0, y1),
+            corner_mask(x1, y1),
+        ]
+    elif padding_mode == "border":
+        masks = [1.0, 1.0, 1.0, 1.0]
+    else:
+        raise ValueError(f"unknown padding_mode: {padding_mode}")
+
+    x0c = jnp.clip(x0, 0, w - 1).astype(jnp.int32)
+    x1c = jnp.clip(x1, 0, w - 1).astype(jnp.int32)
+    y0c = jnp.clip(y0, 0, h - 1).astype(jnp.int32)
+    y1c = jnp.clip(y1, 0, h - 1).astype(jnp.int32)
+
+    # gather four corners: flatten spatial dims, one gather per corner
+    src_flat = src.reshape(n, h * w, c)
+
+    def gather(yi, xi):
+        idx = yi * w + xi  # [N, H', W']
+        flat_idx = idx.reshape(n, -1)
+        out = jnp.take_along_axis(src_flat, flat_idx[..., None], axis=1)
+        return out.reshape(*idx.shape, c)
+
+    v00 = gather(y0c, x0c)
+    v10 = gather(y0c, x1c)
+    v01 = gather(y1c, x0c)
+    v11 = gather(y1c, x1c)
+
+    w00 = (wy0 * wx0 * masks[0])[..., None]
+    w10 = (wy0 * wx1 * masks[1])[..., None]
+    w01 = (wy1 * wx0 * masks[2])[..., None]
+    w11 = (wy1 * wx1 * masks[3])[..., None]
+
+    return v00 * w00 + v10 * w10 + v01 * w01 + v11 * w11
+
+
+def warp_image_by_flow(img, flow, padding_mode="zeros"):
+    """Backward-warp ``img`` ([NxHxWxC]) by ``flow`` ([NxHxWx2]): output pixel
+    p takes the value of ``img`` at p + flow(p).
+
+    Equivalent of the reference's `Backward` warp (lite_flow_net.py:10-28).
+    """
+    return grid_sample(img, flow_to_coords(flow), padding_mode=padding_mode)

@@ -1,15 +1,21 @@
 """Test configuration: run JAX on a virtual 8-device CPU mesh.
 
 Mirrors SURVEY.md §4's "fake TPU" strategy: tests never require TPU hardware;
-multi-chip sharding is validated on forced host devices.
+multi-chip sharding is validated on forced host devices. The environment's
+sitecustomize pre-imports jax with the axon TPU backend, so forcing the env
+var alone is not enough — we update the config directly (backends initialize
+lazily, so this sticks as long as no computation ran yet).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault("JAX_ENABLE_X64", "0")
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,203 @@
+"""Geometry op tests: parity vs torch.grid_sample / cv2.triangulatePoints and
+closed-form cases."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from dfvo_tpu.geometry import lie
+from dfvo_tpu.geometry.ops import (
+    backproject_depth,
+    project_points,
+    reproject,
+    rigid_flow,
+    scatter_kp_depth,
+    triangulate_depths,
+    unproject_kp,
+)
+from dfvo_tpu.ops.warp import (
+    coords_grid,
+    flow_to_coords,
+    grid_sample,
+    warp_image_by_flow,
+)
+
+
+def _rand_K():
+    return np.array([[370.0, 0, 320.0], [0, 371.0, 96.0], [0, 0, 1.0]])
+
+
+class TestGridSample:
+    @pytest.mark.parametrize("padding", ["zeros", "border"])
+    def test_matches_torch_grid_sample(self, padding):
+        torch = pytest.importorskip("torch")
+        rng = np.random.RandomState(0)
+        n, h, w, c = 2, 12, 17, 3
+        src = rng.randn(n, h, w, c).astype(np.float32)
+        # random sample coords, including out-of-bounds
+        coords = rng.uniform(-3, max(h, w) + 2, size=(n, 9, 11, 2)).astype(
+            np.float32
+        )
+        out = np.asarray(grid_sample(jnp.array(src), jnp.array(coords), padding))
+
+        # torch reference with align_corners=True (torch-1.1 semantics used
+        # throughout the reference)
+        norm = coords.copy()
+        norm[..., 0] = coords[..., 0] / (w - 1) * 2 - 1
+        norm[..., 1] = coords[..., 1] / (h - 1) * 2 - 1
+        t_out = torch.nn.functional.grid_sample(
+            torch.from_numpy(src).permute(0, 3, 1, 2),
+            torch.from_numpy(norm),
+            mode="bilinear",
+            padding_mode=padding,
+            align_corners=True,
+        )
+        t_out = t_out.permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(out, t_out, atol=1e-5)
+
+    def test_identity_flow_is_identity(self):
+        rng = np.random.RandomState(1)
+        img = jnp.array(rng.randn(1, 8, 9, 2).astype(np.float32))
+        flow = jnp.zeros((1, 8, 9, 2), jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(warp_image_by_flow(img, flow)), np.asarray(img), atol=1e-6
+        )
+
+    def test_integer_shift(self):
+        img = jnp.arange(20, dtype=jnp.float32).reshape(1, 4, 5, 1)
+        flow = jnp.ones((1, 4, 5, 2), jnp.float32) * jnp.array([1.0, 0.0])
+        out = np.asarray(warp_image_by_flow(img, flow))[0, :, :, 0]
+        expect = np.arange(20, dtype=np.float32).reshape(4, 5)
+        np.testing.assert_allclose(out[:, :-1], expect[:, 1:], atol=1e-6)
+        np.testing.assert_allclose(out[:, -1], 0.0)  # zeros padding
+
+
+class TestLie:
+    def test_so3_exp_log_roundtrip(self):
+        rng = np.random.RandomState(2)
+        w = jnp.array(rng.randn(16, 3).astype(np.float32) * 0.5)
+        R = lie.so3_exp(w)
+        # orthonormality
+        eye = np.broadcast_to(np.eye(3, dtype=np.float32), (16, 3, 3))
+        np.testing.assert_allclose(
+            np.asarray(R @ jnp.swapaxes(R, -1, -2)), eye, atol=1e-5
+        )
+        np.testing.assert_allclose(np.asarray(lie.so3_log(R)), np.asarray(w), atol=1e-4)
+
+    def test_so3_exp_matches_cv2_rodrigues(self):
+        import cv2
+
+        rng = np.random.RandomState(3)
+        for _ in range(5):
+            w = rng.randn(3) * 0.8
+            R_cv, _ = cv2.Rodrigues(w)
+            R = np.asarray(lie.so3_exp(jnp.array(w, dtype=jnp.float32)))
+            np.testing.assert_allclose(R, R_cv, atol=1e-5)
+
+    def test_se3_inverse(self):
+        rng = np.random.RandomState(4)
+        R = lie.so3_exp(jnp.array(rng.randn(3).astype(np.float32) * 0.3))
+        T = lie.make_se3(R, jnp.array([1.0, -2.0, 0.5]))
+        np.testing.assert_allclose(
+            np.asarray(lie.se3_inverse(T) @ T), np.eye(4), atol=1e-5
+        )
+
+    def test_transformation_from_parameters_invert(self):
+        aa = jnp.array([[0.1, -0.2, 0.05]])
+        t = jnp.array([[0.3, 0.1, -1.0]])
+        T = lie.transformation_from_parameters(aa, t)
+        T_inv = lie.transformation_from_parameters(aa, t, invert=True)
+        np.testing.assert_allclose(np.asarray(T @ T_inv), np.eye(4)[None], atol=1e-5)
+
+
+class TestCameraOps:
+    def test_backproject_project_roundtrip(self):
+        K = jnp.array(_rand_K(), dtype=jnp.float32)
+        inv_K = jnp.array(np.linalg.inv(_rand_K()), dtype=jnp.float32)
+        depth = jnp.ones((1, 6, 8), jnp.float32) * 5.0
+        pts = backproject_depth(depth, inv_K)
+        pix = project_points(pts, K)
+        np.testing.assert_allclose(
+            np.asarray(pix[0]), np.asarray(coords_grid(6, 8)), atol=1e-3
+        )
+
+    def test_rigid_flow_translation(self):
+        # camera translating right (+x) => scene points appear to move left
+        K = jnp.array(_rand_K(), dtype=jnp.float32)
+        inv_K = jnp.array(np.linalg.inv(_rand_K()), dtype=jnp.float32)
+        depth = jnp.ones((1, 10, 12), jnp.float32) * 10.0
+        T = np.eye(4, dtype=np.float32)
+        T[0, 3] = -1.0  # transform of points into new camera frame
+        flow = rigid_flow(depth, jnp.array(T)[None], K, inv_K)
+        fx = _rand_K()[0, 0]
+        np.testing.assert_allclose(
+            np.asarray(flow[0, :, :, 0]), -fx / 10.0, atol=1e-3
+        )
+        np.testing.assert_allclose(np.asarray(flow[0, :, :, 1]), 0.0, atol=1e-3)
+
+    def test_unproject_kp(self):
+        K = _rand_K()
+        kp = jnp.array([[320.0, 96.0], [400.0, 150.0]], dtype=jnp.float32)
+        d = jnp.array([2.0, 4.0], jnp.float32)
+        xyz = np.asarray(
+            unproject_kp(kp, d, jnp.array(np.linalg.inv(K), dtype=jnp.float32))
+        )
+        # principal point unprojects to optical axis
+        np.testing.assert_allclose(xyz[0], [0, 0, 2.0], atol=1e-4)
+        # reproject second point
+        pix = K @ xyz[1]
+        np.testing.assert_allclose(pix[:2] / pix[2], [400.0, 150.0], atol=1e-3)
+
+    def test_triangulation_matches_cv2(self):
+        import cv2
+
+        rng = np.random.RandomState(5)
+        # synthetic scene: points in front of two cameras
+        X = rng.uniform([-2, -1, 4], [2, 1, 12], size=(50, 3))
+        T_1w = np.eye(4)
+        R = np.asarray(lie.so3_exp(jnp.array([0.02, -0.05, 0.01], jnp.float32)))
+        T_2w = np.eye(4)
+        T_2w[:3, :3] = R
+        T_2w[:3, 3] = [-0.5, 0.05, 0.1]
+
+        def proj(T):
+            Xc = (T[:3, :3] @ X.T + T[:3, 3:]).T
+            return Xc[:, :2] / Xc[:, 2:]
+
+        kp1, kp2 = proj(T_1w), proj(T_2w)
+        X_cv = cv2.triangulatePoints(
+            T_1w[:3].astype(np.float64),
+            T_2w[:3].astype(np.float64),
+            kp1.T.astype(np.float64),
+            kp2.T.astype(np.float64),
+        )
+        X_cv = (X_cv[:3] / X_cv[3]).T
+
+        X_ours, z1, z2 = triangulate_depths(
+            jnp.array(kp1, jnp.float32),
+            jnp.array(kp2, jnp.float32),
+            jnp.array(T_1w, jnp.float32),
+            jnp.array(T_2w, jnp.float32),
+        )
+        np.testing.assert_allclose(np.asarray(X_ours), X_cv, atol=1e-2)
+        np.testing.assert_allclose(np.asarray(X_ours), X, atol=1e-2)
+        assert np.all(np.asarray(z1) > 0) and np.all(np.asarray(z2) > 0)
+        np.testing.assert_allclose(np.asarray(z1), X[:, 2], atol=1e-2)
+
+    def test_scatter_kp_depth(self):
+        kp = jnp.array([[1.2, 2.7], [-1.0, 0.0], [3.0, 1.0]], jnp.float32)
+        d = jnp.array([5.0, 9.0, 7.0], jnp.float32)
+        out = np.asarray(scatter_kp_depth(kp, d, 4, 5))
+        assert out[2, 1] == 5.0  # floor(y)=2, floor(x)=1
+        assert out[1, 3] == 7.0
+        assert out.sum() == 12.0  # out-of-bounds dropped
+
+    def test_reproject_identity(self):
+        K = jnp.array(_rand_K(), dtype=jnp.float32)
+        inv_K = jnp.array(np.linalg.inv(_rand_K()), dtype=jnp.float32)
+        depth = jnp.ones((1, 5, 7), jnp.float32) * 3.0
+        coords = reproject(depth, jnp.eye(4)[None], K, inv_K)
+        np.testing.assert_allclose(
+            np.asarray(coords[0]), np.asarray(coords_grid(5, 7)), atol=1e-3
+        )
