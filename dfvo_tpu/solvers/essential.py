@@ -1,0 +1,324 @@
+"""Batched essential-matrix estimation, fully on-device.
+
+TPU-native replacement for ``cv2.findEssentialMat`` + ``cv2.recoverPose``
+(reference E_tracker.py:231-239, :291-299). Design differences, by intent:
+
+* the minimal solver is the 8-point DLT projected onto the essential
+  manifold, instead of Nistér's 5-point — the 5-point's 10th-degree
+  polynomial needs a nonsymmetric eigensolve that XLA cannot batch on TPU,
+  while the 8-point reduces to a batched SVD that vmaps perfectly;
+* the accuracy gap of the algebraic minimal solver is closed by multi-start
+  local optimization: the top-K hypotheses are each refined by inlier-set
+  DLT refits plus a Gauss-Newton polish of (R, t) on the essential manifold
+  minimizing the Sampson error, every step guarded to never decrease the
+  inlier count. On synthetic noisy scenes this matches or beats cv2's
+  5-point RANSAC (see tests/test_solvers.py);
+* all hypotheses are solved and scored at once (see solvers/ransac.py).
+
+Conventions: ``kp1`` are pixels in the *current* view, ``kp2`` pixels in the
+*reference* view, matching the reference call order
+``findEssentialMat(kp_cur, kp_ref)``; the recovered (R, t) satisfy
+x2 ~ R x1 + t, i.e. the relative pose mapping current-frame coordinates into
+reference-frame coordinates (the reference's "pose: from cur->ref",
+dfvo.py:168-171).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.lie import skew, so3_exp
+from ..utils.precision import highp
+from .ransac import sample_indices
+
+
+def _normalize(kp, K_inv):
+    """Pixels -> normalized camera coordinates (homogeneous [N x 3])."""
+    ones = jnp.ones_like(kp[..., :1])
+    return jnp.concatenate([kp, ones], axis=-1) @ K_inv.T
+
+
+def _project_to_essential(E):
+    """Project a 3x3 onto the essential manifold: singular values (1, 1, 0)."""
+    U, _, Vt = jnp.linalg.svd(E)
+    return U @ jnp.diag(jnp.array([1.0, 1.0, 0.0], E.dtype)) @ Vt
+
+
+@highp
+def essential_from_sample(x1, x2, weights=None):
+    """DLT estimate of E from normalized correspondences.
+
+    Builds the epipolar design matrix (rows kron(x2, x1) so that
+    x2ᵀ E x1 = 0), takes the right-singular vector of the smallest singular
+    value, and projects onto the essential manifold. SVD of A (not eigh of
+    AᵀA) is mandatory in float32: forming the normal matrix squares the
+    condition number and the smallest eigenvector drowns in rounding noise
+    (observed as jit/eager divergence and RANSAC inlier-count collapse).
+
+    Args:
+        x1, x2: [N x 3] homogeneous normalized coords.
+        weights: optional [N] weights (0/1 mask for inlier refits).
+
+    Returns:
+        [3 x 3] essential matrix (defined up to scale).
+    """
+    A = jnp.einsum("ni,nj->nij", x2, x1).reshape(-1, 9)
+    if weights is not None:
+        A = A * weights[:, None]
+    _, _, Vt = jnp.linalg.svd(A, full_matrices=False)
+    E = Vt[-1].reshape(3, 3)
+    return _project_to_essential(E)
+
+
+@highp
+def sampson_error(F, p1, p2):
+    """Squared Sampson distance of pixel correspondences under F.
+
+    Same residual OpenCV's essential/fundamental RANSAC scores against its
+    pixel threshold.
+
+    Args:
+        F: [3 x 3] fundamental matrix (p2ᵀ F p1 = 0).
+        p1, p2: [N x 3] homogeneous pixel coords.
+
+    Returns:
+        [N] squared Sampson distances (pixels²).
+    """
+    Fx1 = p1 @ F.T
+    Ftx2 = p2 @ F
+    num = jnp.sum(p2 * Fx1, axis=-1) ** 2
+    den = (
+        Fx1[..., 0] ** 2
+        + Fx1[..., 1] ** 2
+        + Ftx2[..., 0] ** 2
+        + Ftx2[..., 1] ** 2
+    )
+    return num / jnp.maximum(den, 1e-12)
+
+
+@highp
+def decompose_essential(E):
+    """E -> the four (R, t) candidates (Hartley & Zisserman 9.6.2).
+
+    Returns:
+        Rs: [4 x 3 x 3], ts: [4 x 3] (unit-norm translation).
+    """
+    U, _, Vt = jnp.linalg.svd(E)
+    U = U * jnp.sign(jnp.linalg.det(U))
+    Vt = Vt * jnp.sign(jnp.linalg.det(Vt))
+    W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], E.dtype)
+    R1 = U @ W @ Vt
+    R2 = U @ W.T @ Vt
+    t = U[:, 2]
+    Rs = jnp.stack([R1, R1, R2, R2])
+    ts = jnp.stack([t, -t, t, -t])
+    return Rs, ts
+
+
+@highp
+def two_view_depths(R, t, x1, x2):
+    """Closed-form projective depths of correspondences under (R, t).
+
+    From z2·x2 = z1·R x1 + t: crossing with x2 eliminates z2, giving
+    z1 = -(x2 × t)·(x2 × R x1)/‖x2 × R x1‖², then z2 = (z1·R x1 + t)_z.
+    O(N) with no per-point linear algebra — this is the cheirality kernel.
+
+    Args:
+        R: [3x3], t: [3].
+        x1, x2: [N x 3] homogeneous normalized coords.
+
+    Returns:
+        (z1 [N], z2 [N]) depths in each view.
+    """
+    Rx1 = x1 @ R.T
+    c_rx = jnp.cross(x2, Rx1)
+    c_t = jnp.cross(x2, jnp.broadcast_to(t, x2.shape))
+    denom = jnp.sum(c_rx * c_rx, axis=-1)
+    z1 = -jnp.sum(c_t * c_rx, axis=-1) / jnp.maximum(denom, 1e-18)
+    z2 = z1 * Rx1[..., 2] + t[2]
+    return z1, z2
+
+
+@highp
+def cheirality_count(R, t, x1, x2, mask, max_depth=50.0):
+    """Number of correspondences in front of both cameras (and nearer than
+    ``max_depth`` baseline units, cv2.recoverPose's internal cap)."""
+    z1, z2 = two_view_depths(R, t, x1, x2)
+    ok = (z1 > 0) & (z1 < max_depth) & (z2 > 0) & (z2 < max_depth) & mask
+    return jnp.sum(ok)
+
+
+@highp
+def recover_pose(E, kp1, kp2, K_inv, inlier_mask):
+    """Choose the (R, t) candidate passing the cheirality check.
+
+    Equivalent of cv2.recoverPose (E_tracker.py:291-299): among the four
+    decompositions of E, pick the one with most points in front of both
+    cameras.
+
+    Args:
+        E: [3 x 3] essential matrix.
+        kp1, kp2: [N x 2] pixel correspondences (current view, reference view).
+        K_inv: [3 x 3] inverse intrinsics.
+        inlier_mask: [N] boolean; only these points vote.
+
+    Returns:
+        (R [3x3], t [3], cheirality_cnt scalar) with x2 ~ R x1 + t.
+    """
+    x1 = _normalize(kp1, K_inv)
+    x2 = _normalize(kp2, K_inv)
+    Rs, ts = decompose_essential(E)
+    counts = jax.vmap(
+        lambda R, t: cheirality_count(R, t, x1, x2, inlier_mask)
+    )(Rs, ts)
+    best = jnp.argmax(counts)
+    return Rs[best], ts[best], counts[best]
+
+
+@highp
+def _gn_polish_pose(R0, t0, x1, x2, weights, iters=5):
+    """Gauss-Newton on the essential manifold: 5-DoF (rotation + translation
+    direction) minimizing the weighted Sampson residual in normalized coords.
+
+    The translation direction moves in a 2-D tangent basis and is
+    re-normalized each step, so the ‖t‖ = 1 gauge is preserved exactly.
+    """
+
+    def residuals(params, R, t):
+        dth, dphi = params[:3], params[3:]
+        Rn = so3_exp(dth) @ R
+        # orthonormal tangent basis at t
+        a = jnp.where(
+            jnp.abs(t[0]) < 0.9,
+            jnp.array([1.0, 0.0, 0.0], t.dtype),
+            jnp.array([0.0, 1.0, 0.0], t.dtype),
+        )
+        b1 = jnp.cross(t, a)
+        b1 = b1 / jnp.linalg.norm(b1)
+        b2 = jnp.cross(t, b1)
+        tn = t + b1 * dphi[0] + b2 * dphi[1]
+        tn = tn / jnp.linalg.norm(tn)
+        E = skew(tn) @ Rn
+        Ex1 = x1 @ E.T
+        Etx2 = x2 @ E
+        num = jnp.sum(x2 * Ex1, axis=-1)
+        den = (
+            Ex1[..., 0] ** 2
+            + Ex1[..., 1] ** 2
+            + Etx2[..., 0] ** 2
+            + Etx2[..., 1] ** 2
+        )
+        r = num / jnp.sqrt(jnp.maximum(den, 1e-18))
+        return r * weights, (Rn, tn)
+
+    def body(_, carry):
+        R, t = carry
+        J = jax.jacfwd(lambda p: residuals(p, R, t)[0])(
+            jnp.zeros(5, dtype=x1.dtype)
+        )
+        r, _ = residuals(jnp.zeros(5, dtype=x1.dtype), R, t)
+        H = J.T @ J + 1e-8 * jnp.eye(5, dtype=x1.dtype)
+        delta = -jnp.linalg.solve(H, J.T @ r)
+        _, (Rn, tn) = residuals(delta, R, t)
+        return Rn, tn
+
+    return jax.lax.fori_loop(0, iters, body, (R0, t0))
+
+
+@partial(jax.jit, static_argnames=("num_hypotheses", "num_starts"))
+@highp
+def find_essential_ransac(
+    rng,
+    kp1,
+    kp2,
+    K,
+    K_inv,
+    valid_mask,
+    threshold=0.2,
+    num_hypotheses=256,
+    num_starts=8,
+):
+    """Batched RANSAC essential-matrix estimation with pose recovery.
+
+    Replaces one ``cv2.findEssentialMat(..., RANSAC, prob=.99, threshold)``
+    + ``cv2.recoverPose`` pair (E_tracker.py:231-299). Pipeline:
+
+    1. solve ``num_hypotheses`` 8-point DLT samples at once (vmap);
+    2. score all models against all points with one batched Sampson pass;
+    3. multi-start local optimization: for each of the top ``num_starts``
+       models, run guarded DLT refits on the inlier set, recover (R, t) by
+       cheirality voting, then guarded Gauss-Newton on (R, t);
+    4. return the start with the most final inliers.
+
+    Args:
+        rng: PRNG key.
+        kp1, kp2: [N x 2] pixel correspondences (cur, ref).
+        K, K_inv: [3 x 3] intrinsics and inverse.
+        valid_mask: [N] boolean validity (padding mask).
+        threshold: inlier threshold in pixels on the Sampson distance
+            (reference e_tracker.ransac.reproj_thre = 0.2).
+        num_hypotheses: number of 8-point samples (static).
+        num_starts: hypotheses kept for local optimization (static).
+
+    Returns:
+        dict with ``E`` [3x3], ``R`` [3x3], ``t`` [3] (x2 ~ R x1 + t, unit
+        ‖t‖), ``inliers`` [N] bool, ``inlier_cnt``, ``cheirality_cnt``.
+    """
+    x1 = _normalize(kp1, K_inv)
+    x2 = _normalize(kp2, K_inv)
+    p1 = jnp.concatenate([kp1, jnp.ones_like(kp1[:, :1])], axis=-1)
+    p2 = jnp.concatenate([kp2, jnp.ones_like(kp2[:, :1])], axis=-1)
+    thr2 = threshold**2
+
+    def score(E):
+        F = K_inv.T @ E @ K_inv
+        return (sampson_error(F, p1, p2) < thr2) & valid_mask
+
+    idx = sample_indices(rng, valid_mask, num_hypotheses, 8)
+    Es = jax.vmap(lambda i: essential_from_sample(x1[i], x2[i]))(idx)
+    inliers = jax.vmap(score)(Es)
+    counts = jnp.sum(inliers, axis=1)
+    _, top = jax.lax.top_k(counts, num_starts)
+
+    def polish_one(i0):
+        cur = inliers[i0]
+        best_E, best_cnt, best_inl = Es[i0], counts[i0], cur
+        # guarded DLT refit rounds
+        for _ in range(2):
+            E = essential_from_sample(x1, x2, weights=cur.astype(x1.dtype))
+            cur = score(E)
+            cnt = jnp.sum(cur)
+            better = cnt >= best_cnt
+            best_E = jnp.where(better, E, best_E)
+            best_cnt = jnp.where(better, cnt, best_cnt)
+            best_inl = jnp.where(better, cur, best_inl)
+        # recover pose from the best DLT model, then guarded GN polish
+        R, t, _ = recover_pose(best_E, kp1, kp2, K_inv, best_inl)
+        best_R, best_t = R, t
+        cur = best_inl
+        for _ in range(2):
+            R, t = _gn_polish_pose(R, t, x1, x2, cur.astype(x1.dtype))
+            E = skew(t) @ R
+            cur = score(E)
+            cnt = jnp.sum(cur)
+            better = cnt >= best_cnt
+            best_R = jnp.where(better, R, best_R)
+            best_t = jnp.where(better, t, best_t)
+            best_cnt = jnp.where(better, cnt, best_cnt)
+            best_inl = jnp.where(better, cur, best_inl)
+        return best_R, best_t, best_cnt, best_inl
+
+    Rs, ts, cnts, inls = jax.vmap(polish_one)(top)
+    j = jnp.argmax(cnts)
+    R, t, inl = Rs[j], ts[j], inls[j]
+    E = skew(t) @ R
+    cheir = cheirality_count(R, t, x1, x2, valid_mask)
+    return {
+        "E": E,
+        "R": R,
+        "t": t,
+        "inliers": inl,
+        "inlier_cnt": cnts[j],
+        "cheirality_cnt": cheir,
+    }

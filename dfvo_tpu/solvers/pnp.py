@@ -1,0 +1,170 @@
+"""Batched RANSAC PnP (3D-2D pose) with Gauss-Newton refinement.
+
+TPU-native replacement for ``cv2.solvePnPRansac`` + ``cv2.Rodrigues``
+(reference pnp_tracker.py:89-116). The minimal solver is a 6-point DLT for
+the projection matrix (vmap-friendly 12x12 symmetric eigh) instead of
+OpenCV's EPnP/P3P; the winning hypothesis is polished by a fixed-iteration
+Gauss-Newton on its inlier set, mirroring solvePnPRansac's final LM refine.
+
+Convention: solves x ~ K (R X + t) — (R, t) map *object-frame* (reference
+view) points into the *image* (current) camera frame, exactly like
+cv2.solvePnP(objectPoints, imagePoints); the tracker inverts the result as
+the reference does (pnp_tracker.py:118).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.lie import skew, so3_exp
+from ..utils.precision import highp
+from .ransac import sample_indices
+
+
+@highp
+def pnp_from_sample(X, x_norm, weights=None):
+    """DLT estimate of [R|t] from 3D points and normalized image points.
+
+    Args:
+        X: [N x 3] object points (N >= 6).
+        x_norm: [N x 2] normalized image coords (K⁻¹ applied).
+        weights: optional [N] weights for refits.
+
+    Returns:
+        (R [3x3], t [3]).
+    """
+    ones = jnp.ones_like(X[:, :1])
+    Xh = jnp.concatenate([X, ones], axis=-1)  # [N,4]
+    u = x_norm[:, 0:1]
+    v = x_norm[:, 1:2]
+    zero4 = jnp.zeros_like(Xh)
+    r1 = jnp.concatenate([Xh, zero4, -u * Xh], axis=-1)  # [N,12]
+    r2 = jnp.concatenate([zero4, Xh, -v * Xh], axis=-1)
+    A = jnp.concatenate([r1, r2], axis=0)
+    if weights is not None:
+        w = jnp.concatenate([weights, weights], axis=0)
+        A = A * w[:, None]
+    # SVD of A, not eigh of AᵀA: float32 nullspace extraction (see
+    # essential.py for the conditioning rationale)
+    _, _, Vt = jnp.linalg.svd(A, full_matrices=False)
+    M = Vt[-1].reshape(3, 4)
+    # fix the projective scale sign so det(M[:, :3]) > 0 (proper rotation)
+    M = M * jnp.sign(jnp.linalg.det(M[:, :3]))
+    # nearest rotation + scale
+    U, S, Vt = jnp.linalg.svd(M[:, :3])
+    D = jnp.diag(jnp.array([1.0, 1.0, jnp.linalg.det(U @ Vt)], M.dtype))
+    R = U @ D @ Vt
+    scale = jnp.mean(S)
+    t = M[:, 3] / jnp.maximum(scale, 1e-12)
+    return R, t
+
+
+@highp
+def _reproj_err_sq(R, t, X, x_pix, K):
+    """Squared pixel reprojection error; points behind the camera get +inf."""
+    P = X @ R.T + t
+    z = P[:, 2]
+    zs = jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
+    proj = (P / zs[:, None]) @ K.T
+    err = jnp.sum((proj[:, :2] - x_pix) ** 2, axis=-1)
+    return jnp.where(z > 0, err, jnp.inf)
+
+
+@highp
+def _gauss_newton_refine(R, t, X, x_pix, K, weight, iters=10):
+    """Fixed-iteration Gauss-Newton on SE(3), minimizing weighted pixel
+    reprojection error (left-multiplicative update)."""
+    fx, fy = K[0, 0], K[1, 1]
+
+    def body(_, Rt):
+        R, t = Rt
+        P = X @ R.T + t
+        z = jnp.maximum(P[:, 2], 1e-6)
+        u = fx * P[:, 0] / z + K[0, 2]
+        v = fy * P[:, 1] / z + K[1, 2]
+        r = jnp.stack([u - x_pix[:, 0], v - x_pix[:, 1]], axis=-1)  # [N,2]
+        # d(pix)/dP
+        du = jnp.stack([fx / z, jnp.zeros_like(z), -fx * P[:, 0] / z**2], -1)
+        dv = jnp.stack([jnp.zeros_like(z), fy / z, -fy * P[:, 1] / z**2], -1)
+        J_p = jnp.stack([du, dv], axis=-2)  # [N,2,3]
+        # dP/d(δθ, δv) = [-[P]x, I]
+        dP = jnp.concatenate(
+            [-skew(P), jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), P.shape[:1] + (3, 3))],
+            axis=-1,
+        )  # [N,3,6]
+        J = J_p @ dP  # [N,2,6]
+        w = weight[:, None, None]
+        H = jnp.einsum("nki,nkj->ij", J * w, J) + 1e-6 * jnp.eye(6, dtype=R.dtype)
+        b = jnp.einsum("nki,nk->i", J * w, r)
+        delta = -jnp.linalg.solve(H, b)
+        dR = so3_exp(delta[:3])
+        return dR @ R, dR @ t + delta[3:]
+
+    return jax.lax.fori_loop(0, iters, body, (R, t))
+
+
+@partial(jax.jit, static_argnames=("num_hypotheses", "refine_iters"))
+@highp
+def solve_pnp_ransac(
+    rng,
+    X,
+    x_pix,
+    K,
+    K_inv,
+    valid_mask,
+    reproj_threshold=1.0,
+    num_hypotheses=256,
+    refine_iters=10,
+):
+    """Batched RANSAC PnP.
+
+    Args:
+        rng: PRNG key.
+        X: [N x 3] 3D points in the object (reference-view) frame.
+        x_pix: [N x 2] observed pixels in the current view.
+        K, K_inv: intrinsics.
+        valid_mask: [N] boolean validity.
+        reproj_threshold: inlier threshold (pixels; reference default 1,
+            pnp_tracker config).
+        num_hypotheses: number of 6-point samples (static).
+        refine_iters: Gauss-Newton iterations on the winner (static).
+
+    Returns:
+        dict with ``R`` [3x3], ``t`` [3], ``inliers`` [N] bool,
+        ``inlier_cnt``, ``ok`` (enough inliers to trust the pose).
+    """
+    x_norm = (
+        jnp.concatenate([x_pix, jnp.ones_like(x_pix[:, :1])], axis=-1) @ K_inv.T
+    )[:, :2]
+
+    idx = sample_indices(rng, valid_mask, num_hypotheses, 6)
+    Rs, ts = jax.vmap(lambda i: pnp_from_sample(X[i], x_norm[i]))(idx)
+
+    errs = jax.vmap(lambda R, t: _reproj_err_sq(R, t, X, x_pix, K))(Rs, ts)
+    inliers = (errs < reproj_threshold**2) & valid_mask[None, :]
+    counts = jnp.sum(inliers, axis=1)
+    best = jnp.argmax(counts)
+
+    R0, t0 = Rs[best], ts[best]
+    w = inliers[best].astype(X.dtype)
+    R1, t1 = _gauss_newton_refine(R0, t0, X, x_pix, K, w, iters=refine_iters)
+
+    refined_err = _reproj_err_sq(R1, t1, X, x_pix, K)
+    refined_inl = (refined_err < reproj_threshold**2) & valid_mask
+    refined_cnt = jnp.sum(refined_inl)
+
+    use_ref = refined_cnt >= counts[best]
+    R_out = jnp.where(use_ref, R1, R0)
+    t_out = jnp.where(use_ref, t1, t0)
+    inl_out = jnp.where(use_ref, refined_inl, inliers[best])
+    cnt_out = jnp.where(use_ref, refined_cnt, counts[best])
+    return {
+        "R": R_out,
+        "t": t_out,
+        "inliers": inl_out,
+        "inlier_cnt": cnt_out,
+        # cv2.solvePnPRansac needs >4 points and returns flag; we mirror a
+        # minimal sanity condition (pnp_tracker.py:96-108)
+        "ok": cnt_out > 4,
+    }

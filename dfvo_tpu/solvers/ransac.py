@@ -1,0 +1,47 @@
+"""Shared machinery for batched, fixed-shape RANSAC on TPU.
+
+The reference runs serial OpenCV RANSAC loops on the host
+(E_tracker.py:223-287, pnp_tracker.py:89-110). Here every hypothesis is a lane
+of a `jax.vmap`: we draw M minimal samples at once, solve M models in one
+batched linear-algebra call, and score all N correspondences against all M
+models with one einsum — the classic hundreds-of-iterations loop becomes two
+MXU-friendly batched ops.
+
+Keypoint sets are fixed-size arrays with validity masks (SURVEY.md §7 "static
+shapes"), so compile once and reuse for every frame.
+"""
+
+import jax
+import jax.numpy as jnp
+
+
+def sample_indices(rng, valid_mask, num_hypotheses, sample_size):
+    """Draw ``[M x k]`` indices of valid points for minimal samples.
+
+    Valid indices are compacted to the front with a stable argsort, then
+    sampled uniformly (with replacement across hypotheses; duplicates within a
+    sample are possible but rare for N >> k and merely waste that hypothesis
+    — the degenerate model scores few inliers and loses the argmax).
+
+    Args:
+        rng: PRNG key.
+        valid_mask: [N] boolean validity of each correspondence.
+        num_hypotheses: M, number of minimal samples.
+        sample_size: k, points per sample.
+
+    Returns:
+        [M x k] int32 indices into the N points (always valid indices, as
+        long as at least one point is valid).
+    """
+    n = valid_mask.shape[0]
+    order = jnp.argsort(~valid_mask, stable=True)  # valid indices first
+    count = jnp.maximum(jnp.sum(valid_mask), 1)
+    raw = jax.random.randint(
+        rng, (num_hypotheses, sample_size), 0, jnp.iinfo(jnp.int32).max
+    )
+    return order[raw % count]
+
+
+def best_hypothesis(inlier_counts):
+    """Index of the hypothesis with most inliers."""
+    return jnp.argmax(inlier_counts)

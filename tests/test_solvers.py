@@ -1,0 +1,294 @@
+"""Solver tests: batched RANSAC solvers vs synthetic ground truth and OpenCV."""
+
+import cv2
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dfvo_tpu.geometry.lie import so3_exp
+from dfvo_tpu.solvers import (
+    calc_gric,
+    find_essential_ransac,
+    find_homography_ransac,
+    fundamental_residual,
+    homography_residual,
+    recover_pose,
+    sample_indices,
+    scale_ransac_1d,
+    solve_pnp_ransac,
+)
+
+H_IMG, W_IMG = 192, 640
+K = np.array([[370.0, 0, 320.0], [0, 371.0, 96.0], [0, 0, 1.0]])
+K_inv = np.linalg.inv(K)
+
+
+def make_two_view_scene(
+    rng, n=500, n_outliers=50, noise=0.2, rot=(0.01, -0.02, 0.005),
+    trans=(0.3, -0.1, 1.0), planar=False,
+):
+    """Synthetic scene: 3D points seen from two cameras.
+
+    Returns pixel correspondences kp1 (view 1 = "current") and kp2
+    (view 2 = "reference") with x2 = R x1 + t, plus GT (R, t).
+    """
+    if planar:
+        X = rng.uniform([-8, -3, 14.9], [8, 3, 15.1], size=(n, 3))
+        X[:, 2] = 15.0
+    else:
+        X = rng.uniform([-8, -3, 5], [8, 3, 40], size=(n, 3))
+    R = np.asarray(so3_exp(jnp.array(rot, jnp.float32)), dtype=np.float64)
+    t = np.array(trans)
+
+    def project(P3):
+        pix = (K @ P3.T).T
+        return pix[:, :2] / pix[:, 2:]
+
+    kp1 = project(X)  # view 1 (current)
+    kp2 = project(X @ R.T + t)  # view 2 (reference)
+    kp1 += rng.randn(n, 2) * noise
+    kp2 += rng.randn(n, 2) * noise
+    # inject outliers
+    out_idx = rng.choice(n, n_outliers, replace=False)
+    kp2[out_idx] = rng.uniform([0, 0], [W_IMG, H_IMG], size=(n_outliers, 2))
+    inlier_gt = np.ones(n, bool)
+    inlier_gt[out_idx] = False
+    return kp1, kp2, R, t, inlier_gt
+
+
+def rot_angle_deg(Ra, Rb):
+    cos = (np.trace(Ra.T @ Rb) - 1) / 2
+    return np.degrees(np.arccos(np.clip(cos, -1, 1)))
+
+
+def trans_angle_deg(ta, tb):
+    cos = np.dot(ta, tb) / (np.linalg.norm(ta) * np.linalg.norm(tb))
+    return np.degrees(np.arccos(np.clip(abs(cos), -1, 1)))
+
+
+class TestSampling:
+    def test_sample_indices_only_valid(self):
+        mask = jnp.array([False, True, False, True, True, False])
+        idx = sample_indices(jax.random.PRNGKey(0), mask, 64, 4)
+        vals = np.asarray(idx).ravel()
+        assert set(vals).issubset({1, 3, 4})
+
+
+class TestEssential:
+    def test_ransac_recovers_pose(self):
+        rng = np.random.RandomState(0)
+        kp1, kp2, R_gt, t_gt, _ = make_two_view_scene(rng)
+        out = find_essential_ransac(
+            jax.random.PRNGKey(1),
+            jnp.array(kp1, jnp.float32),
+            jnp.array(kp2, jnp.float32),
+            jnp.array(K, jnp.float32),
+            jnp.array(K_inv, jnp.float32),
+            jnp.ones(len(kp1), bool),
+            threshold=0.5,
+        )
+        assert int(out["inlier_cnt"]) > 350
+        R = np.asarray(out["R"], np.float64)
+        t = np.asarray(out["t"], np.float64)
+        assert rot_angle_deg(R, R_gt) < 0.1
+        assert trans_angle_deg(t, t_gt) < 1.0
+        assert int(out["cheirality_cnt"]) > 300
+
+    def test_against_cv2(self):
+        """Protocol parity: on the same noisy data, our solver's pose error
+        vs ground truth is comparable to cv2's 5-point RANSAC (both are
+        random estimators, so we compare accuracy, not bitwise output)."""
+        rng = np.random.RandomState(1)
+        kp1, kp2, R_gt, t_gt, _ = make_two_view_scene(rng, noise=0.3)
+        E_cv, _ = cv2.findEssentialMat(
+            kp1, kp2, focal=K[0, 0], pp=(K[0, 2], K[1, 2]),
+            method=cv2.RANSAC, prob=0.99, threshold=0.5,
+        )
+        _, R_cv, t_cv, _ = cv2.recoverPose(
+            E_cv, kp1, kp2, focal=K[0, 0], pp=(K[0, 2], K[1, 2])
+        )
+        out = find_essential_ransac(
+            jax.random.PRNGKey(2),
+            jnp.array(kp1, jnp.float32),
+            jnp.array(kp2, jnp.float32),
+            jnp.array(K, jnp.float32),
+            jnp.array(K_inv, jnp.float32),
+            jnp.ones(len(kp1), bool),
+            threshold=0.5,
+        )
+        R = np.asarray(out["R"], np.float64)
+        t = np.asarray(out["t"], np.float64)
+        ours_rot = rot_angle_deg(R, R_gt)
+        cv_rot = rot_angle_deg(R_cv, R_gt)
+        ours_t = trans_angle_deg(t, t_gt)
+        cv_t = trans_angle_deg(t_cv[:, 0], t_gt)
+        # within absolute tolerance AND competitive with cv2
+        assert ours_rot < 0.2
+        assert ours_t < 2.0
+        assert ours_rot < cv_rot + 0.15
+        assert ours_t < cv_t + 1.0
+
+    def test_respects_padding_mask(self):
+        rng = np.random.RandomState(2)
+        kp1, kp2, R_gt, t_gt, _ = make_two_view_scene(rng, n=300, n_outliers=0)
+        # pad with garbage that the mask must exclude
+        pad = 100
+        kp1p = np.concatenate([kp1, rng.uniform(0, 100, (pad, 2))])
+        kp2p = np.concatenate([kp2, rng.uniform(0, 100, (pad, 2))])
+        mask = np.concatenate([np.ones(300, bool), np.zeros(pad, bool)])
+        out = find_essential_ransac(
+            jax.random.PRNGKey(3),
+            jnp.array(kp1p, jnp.float32),
+            jnp.array(kp2p, jnp.float32),
+            jnp.array(K, jnp.float32),
+            jnp.array(K_inv, jnp.float32),
+            jnp.array(mask),
+            threshold=0.5,
+        )
+        assert not np.any(np.asarray(out["inliers"])[300:])
+        assert rot_angle_deg(np.asarray(out["R"], np.float64), R_gt) < 0.1
+
+
+class TestHomographyGric:
+    def test_homography_planar(self):
+        rng = np.random.RandomState(3)
+        kp1, kp2, *_ = make_two_view_scene(rng, planar=True, n_outliers=30)
+        out = find_homography_ransac(
+            jax.random.PRNGKey(4),
+            jnp.array(kp1, jnp.float32),
+            jnp.array(kp2, jnp.float32),
+            jnp.ones(len(kp1), bool),
+            threshold=1.0,
+        )
+        assert int(out["inlier_cnt"]) > 400
+
+    def test_gric_residuals_match_reference_formulas(self):
+        """Oracle: direct numpy evaluation of the published GRIC residuals
+        (Torr 1997), as implemented in the reference gric.py."""
+        rng = np.random.RandomState(4)
+        kp1 = rng.uniform([0, 0], [W_IMG, H_IMG], (50, 2))
+        kp2 = kp1 + rng.randn(50, 2) * 5
+        F = rng.randn(3, 3)
+        p1 = np.concatenate([kp1, np.ones((50, 1))], 1)
+        p2 = np.concatenate([kp2, np.ones((50, 1))], 1)
+        Fx1 = p1 @ F.T
+        Ftx2 = p2 @ F
+        expected = np.sum(p2 * Fx1, 1) ** 2 / (
+            Fx1[:, 0] ** 2 + Fx1[:, 1] ** 2 + Ftx2[:, 0] ** 2 + Ftx2[:, 1] ** 2
+        )
+        res = np.asarray(
+            fundamental_residual(
+                jnp.array(F, jnp.float32),
+                jnp.array(kp1, jnp.float32),
+                jnp.array(kp2, jnp.float32),
+            )
+        )
+        np.testing.assert_allclose(res, expected, rtol=2e-3)
+
+    def test_gric_model_selection(self):
+        """General scene → E wins (lower GRIC); planar scene → H wins."""
+        key = jax.random.PRNGKey(5)
+
+        def grics(planar):
+            rng = np.random.RandomState(10 + planar)
+            kp1, kp2, *_ = make_two_view_scene(
+                rng, n=400, n_outliers=0, noise=0.3, planar=planar
+            )
+            kp1j = jnp.array(kp1, jnp.float32)
+            kp2j = jnp.array(kp2, jnp.float32)
+            mask = jnp.ones(len(kp1), bool)
+            h = find_homography_ransac(key, kp1j, kp2j, mask, threshold=1.0)
+            e = find_essential_ransac(
+                key, kp1j, kp2j, jnp.array(K, jnp.float32),
+                jnp.array(K_inv, jnp.float32), mask, threshold=0.5,
+            )
+            F = jnp.array(K_inv.T, jnp.float32) @ e["E"] @ jnp.array(K_inv, jnp.float32)
+            h_res = homography_residual(h["H"], kp1j, kp2j)
+            e_res = fundamental_residual(F, kp1j, kp2j)
+            n = len(kp1)
+            return (
+                float(calc_gric(h_res, 0.8, n, "HMat")),
+                float(calc_gric(e_res, 0.8, n, "EMat")),
+            )
+
+        h_gric, e_gric = grics(planar=False)
+        assert e_gric < h_gric  # parallax-rich: essential preferred
+        h_gric_p, e_gric_p = grics(planar=True)
+        assert h_gric_p < e_gric_p  # planar: homography preferred
+
+
+class TestPnP:
+    def test_pnp_recovers_pose(self):
+        rng = np.random.RandomState(6)
+        n, n_out = 400, 60
+        X = rng.uniform([-8, -3, 5], [8, 3, 40], size=(n, 3))
+        R_gt = np.asarray(
+            so3_exp(jnp.array([0.02, -0.03, 0.01], jnp.float32)), np.float64
+        )
+        t_gt = np.array([0.4, -0.2, 0.8])
+        P = X @ R_gt.T + t_gt
+        pix = (K @ P.T).T
+        pix = pix[:, :2] / pix[:, 2:]
+        pix += rng.randn(n, 2) * 0.2
+        out_idx = rng.choice(n, n_out, replace=False)
+        pix[out_idx] += rng.uniform(20, 100, size=(n_out, 2))
+
+        out = solve_pnp_ransac(
+            jax.random.PRNGKey(7),
+            jnp.array(X, jnp.float32),
+            jnp.array(pix, jnp.float32),
+            jnp.array(K, jnp.float32),
+            jnp.array(K_inv, jnp.float32),
+            jnp.ones(n, bool),
+            reproj_threshold=1.0,
+        )
+        assert bool(out["ok"])
+        assert int(out["inlier_cnt"]) > 300
+        R = np.asarray(out["R"], np.float64)
+        t = np.asarray(out["t"], np.float64)
+        assert rot_angle_deg(R, R_gt) < 0.05
+        assert np.linalg.norm(t - t_gt) < 0.03
+
+    def test_against_cv2_solvepnp(self):
+        rng = np.random.RandomState(7)
+        n = 300
+        X = rng.uniform([-8, -3, 5], [8, 3, 40], size=(n, 3))
+        R_gt = np.asarray(so3_exp(jnp.array([0.05, 0.02, -0.04], jnp.float32)), np.float64)
+        t_gt = np.array([-0.3, 0.1, 1.2])
+        P = X @ R_gt.T + t_gt
+        pix = (K @ P.T).T
+        pix = pix[:, :2] / pix[:, 2:]
+        pix += rng.randn(n, 2) * 0.3
+
+        flag, r_cv, t_cv, _ = cv2.solvePnPRansac(
+            X, pix, K, None, iterationsCount=100, reprojectionError=1.0
+        )
+        R_cv, _ = cv2.Rodrigues(r_cv)
+        out = solve_pnp_ransac(
+            jax.random.PRNGKey(8),
+            jnp.array(X, jnp.float32),
+            jnp.array(pix, jnp.float32),
+            jnp.array(K, jnp.float32),
+            jnp.array(K_inv, jnp.float32),
+            jnp.ones(n, bool),
+        )
+        assert rot_angle_deg(np.asarray(out["R"], np.float64), R_cv) < 0.1
+        assert np.linalg.norm(np.asarray(out["t"], np.float64) - t_cv[:, 0]) < 0.05
+
+
+class TestScale:
+    def test_scale_ransac(self):
+        rng = np.random.RandomState(8)
+        n = 500
+        true_scale = 3.7  # c such that c * ratio ≈ 1 => ratios ≈ 1/c
+        ratios = 1.0 / true_scale + rng.randn(n) * 0.002
+        out_idx = rng.choice(n, 150, replace=False)
+        ratios[out_idx] = rng.uniform(0.01, 2.0, 150)
+        out = scale_ransac_1d(
+            jax.random.PRNGKey(9), jnp.array(ratios, jnp.float32),
+            jnp.ones(n, bool), threshold=0.1,
+        )
+        assert abs(float(out["scale"]) - true_scale) / true_scale < 0.02
+        assert int(out["inlier_cnt"]) >= 330
