@@ -1,0 +1,91 @@
+"""Shared Flax layers for the network stack.
+
+Rebuilds of the torch building blocks in the reference
+(libs/deep_models/depth/monodepth2/layers.py:106-136 and torchvision basic
+blocks) in NHWC layout. All convolutions use explicit torch-equivalent
+padding tuples so converted weights reproduce activations exactly.
+"""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class FrozenBatchNorm(nn.Module):
+    """Inference-semantics batch norm: y = γ(x-μ)/√(σ²+ε) + β.
+
+    Running statistics live in the ``batch_stats`` collection so optimizers
+    never touch them. The reference finetunes with torch's train-mode BN at
+    batch size 1 (monodepth2.py:62-64) — frozen statistics are the
+    numerically saner choice for online adaptation and keep inference and
+    finetuning consistent.
+    """
+
+    features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.variable(
+            "batch_stats", "mean", nn.initializers.zeros, None, (self.features,)
+        )
+        var = self.variable(
+            "batch_stats", "var", nn.initializers.ones, None, (self.features,)
+        )
+        inv = jax.lax.rsqrt(var.value + self.eps) * scale
+        return x * inv + (bias - mean.value * inv)
+
+
+class Conv3x3(nn.Module):
+    """Reflection-padded 3x3 convolution (ref layers.py:121-136)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+        return nn.Conv(self.features, (3, 3), padding="VALID", name="conv")(x)
+
+
+class ConvBlock(nn.Module):
+    """Conv3x3 followed by ELU (ref layers.py:106-118)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.elu(Conv3x3(self.features, name="conv")(x))
+
+
+def upsample2x_nearest(x):
+    """Nearest-neighbor 2x spatial upsample for NHWC (ref layers.py:347-350)."""
+    n, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, c))
+    return x.reshape(n, h * 2, w * 2, c)
+
+
+def resize_bilinear(x, out_h, out_w, align_corners=False):
+    """Bilinear resize for NHWC tensors.
+
+    ``align_corners=True`` matches torch's F.interpolate(align_corners=True)
+    used for flow/image resizing in the reference (deep_flow.py:122-124,
+    lite_flow.py:73-75); False matches the torch default used for disparity
+    upsampling (monodepth2.py:112-113).
+    """
+    n, h, w, c = x.shape
+    from ..ops.warp import grid_sample
+
+    if align_corners and out_h > 1 and out_w > 1:
+        # sample positions map corner-to-corner
+        ys = jnp.linspace(0.0, h - 1.0, out_h)
+        xs = jnp.linspace(0.0, w - 1.0, out_w)
+    else:
+        # half-pixel-center mapping WITHOUT antialiasing (torch semantics;
+        # jax.image.resize would apply a downsampling filter and diverge)
+        ys = (jnp.arange(out_h) + 0.5) * (h / out_h) - 0.5
+        xs = (jnp.arange(out_w) + 0.5) * (w / out_w) - 0.5
+    coords = jnp.stack(jnp.meshgrid(xs, ys), axis=-1)  # [H', W', 2]
+    coords = jnp.broadcast_to(coords, (n, out_h, out_w, 2))
+    return grid_sample(x, coords, padding_mode="border")

@@ -1,0 +1,248 @@
+"""LiteFlowNet in Flax (NHWC) with the Pallas/XLA cost-volume op.
+
+Rebuild of the reference architecture
+(libs/deep_models/flow/lite_flow_net/lite_flow_net.py:31-325): a 6-level
+feature pyramid processed coarse-to-fine (levels 6→2), each level running
+Matching (cost volume → flow delta), Subpixel (feature-concat refinement)
+and Regularization (feature-driven local flow filtering). Outputs a dict of
+flows {1..5} where flows[k] lives at 1/2^(k+1) resolution and is scaled by
+20·0.5^k to pixel units of the full-resolution input.
+
+Param naming mirrors the torch module tree (moduleFeatures.moduleOne.0 →
+features/one_0) so the weight converter (convert.py) is a mechanical map.
+"""
+
+from typing import Any, Dict, List
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.correlation import correlation
+from ..ops.warp import warp_image_by_flow
+from .layers import resize_bilinear
+
+# per-level constants, indexed by pyramid level 2..6
+# (ref lite_flow_net.py:92,128,158,172,196-240)
+_FLOW_SCALE = {2: 10.0, 3: 5.0, 4: 2.5, 5: 1.25, 6: 0.625}
+_LEVEL_KERNEL = {2: 7, 3: 5, 4: 5, 5: 3, 6: 3}
+_DIST_CH = {2: 49, 3: 25, 4: 25, 5: 9, 6: 9}
+_FEAT_CH = {1: 32, 2: 32, 3: 64, 4: 96, 5: 128, 6: 192}
+
+
+def _leaky(x):
+    return nn.leaky_relu(x, 0.1)
+
+
+def _conv(features, kernel, stride=1, name=None, use_bias=True):
+    pad = (kernel - 1) // 2
+    return nn.Conv(
+        features,
+        (kernel, kernel),
+        strides=(stride, stride),
+        padding=((pad, pad), (pad, pad)),
+        use_bias=use_bias,
+        name=name,
+    )
+
+
+class _DepthwiseDeconv2x(nn.Module):
+    """Per-channel 4x4 stride-2 transposed conv (groups == channels), used
+    for flow/correlation upsampling (ref lite_flow_net.py:109,117).
+
+    Implemented as an input-dilated depthwise correlation; torch weights are
+    spatially flipped by the converter.
+    """
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.normal(0.02),
+            (4, 4, 1, self.channels),
+        )
+        import jax.lax as lax
+
+        return lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=(1, 1),
+            padding=((2, 2), (2, 2)),
+            lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.channels,
+        )
+
+
+class _Matching(nn.Module):
+    level: int
+    use_pallas: Any = None
+
+    @nn.compact
+    def __call__(self, feat1, feat2, flow):
+        lvl = self.level
+        if lvl == 2:
+            feat_conv = _conv(64, 1, name="feat_conv")  # shared for both views
+            feat1 = _leaky(feat_conv(feat1))
+            feat2 = _leaky(feat_conv(feat2))
+        if flow is not None:
+            flow = _DepthwiseDeconv2x(2, name="upflow")(flow)
+            feat2 = warp_image_by_flow(feat2, flow * _FLOW_SCALE[lvl])
+        if lvl >= 4:
+            corr = _leaky(
+                correlation(feat1, feat2, 3, 1, use_pallas=self.use_pallas)
+            )
+        else:
+            corr = _leaky(
+                correlation(feat1, feat2, 3, 2, use_pallas=self.use_pallas)
+            )
+            corr = _DepthwiseDeconv2x(49, name="upcorr")(corr)
+        x = _leaky(_conv(128, 3, name="main_0")(corr))
+        x = _leaky(_conv(64, 3, name="main_1")(x))
+        x = _leaky(_conv(32, 3, name="main_2")(x))
+        delta = _conv(2, _LEVEL_KERNEL[lvl], name="main_3")(x)
+        return delta if flow is None else flow + delta
+
+
+class _Subpixel(nn.Module):
+    level: int
+
+    @nn.compact
+    def __call__(self, feat1, feat2, flow):
+        lvl = self.level
+        if lvl == 2:
+            feat_conv = _conv(64, 1, name="feat_conv")  # shared for both views
+            feat1 = _leaky(feat_conv(feat1))
+            feat2 = _leaky(feat_conv(feat2))
+        feat2 = warp_image_by_flow(feat2, flow * _FLOW_SCALE[lvl])
+        x = jnp.concatenate([feat1, feat2, flow], axis=-1)
+        x = _leaky(_conv(128, 3, name="main_0")(x))
+        x = _leaky(_conv(64, 3, name="main_1")(x))
+        x = _leaky(_conv(32, 3, name="main_2")(x))
+        delta = _conv(2, _LEVEL_KERNEL[lvl], name="main_3")(x)
+        return flow + delta
+
+
+def _unfold_channels(x, k):
+    """[N x H x W x 1] -> [N x H x W x k²] zero-padded local patches,
+    (ky-major channel order, matching torch F.unfold)."""
+    p = (k - 1) // 2
+    xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
+    h, w = x.shape[1], x.shape[2]
+    cols = []
+    for ky in range(k):
+        for kx in range(k):
+            cols.append(xp[:, ky : ky + h, kx : kx + w, 0])
+    return jnp.stack(cols, axis=-1)
+
+
+class _Regularization(nn.Module):
+    level: int
+
+    @nn.compact
+    def __call__(self, img1, img2, feat1, flow):
+        lvl = self.level
+        k = _LEVEL_KERNEL[lvl]
+        dist_ch = _DIST_CH[lvl]
+
+        diff = img1 - warp_image_by_flow(img2, flow * _FLOW_SCALE[lvl])
+        diff = jnp.sqrt(jnp.sum(diff**2, axis=-1, keepdims=True) + 1e-6)
+
+        if lvl < 5:
+            feat1 = _leaky(_conv(128, 1, name="feat_conv")(feat1))
+        flow_centered = flow - jnp.mean(flow, axis=(1, 2), keepdims=True)
+
+        x = jnp.concatenate([diff, flow_centered, feat1], axis=-1)
+        x = _leaky(_conv(128, 3, name="main_0")(x))
+        x = _leaky(_conv(128, 3, name="main_1")(x))
+        x = _leaky(_conv(64, 3, name="main_2")(x))
+        x = _leaky(_conv(64, 3, name="main_3")(x))
+        x = _leaky(_conv(32, 3, name="main_4")(x))
+        x = _leaky(_conv(32, 3, name="main_5")(x))
+
+        if lvl >= 5:
+            dist = _conv(dist_ch, k, name="dist")(x)
+        else:
+            # separable kx1 then 1xk (ref lite_flow_net.py:232-235)
+            pad = (k - 1) // 2
+            dist = nn.Conv(
+                dist_ch,
+                (k, 1),
+                padding=((pad, pad), (0, 0)),
+                name="dist_ver",
+            )(x)
+            dist = nn.Conv(
+                dist_ch,
+                (1, k),
+                padding=((0, 0), (pad, pad)),
+                name="dist_hor",
+            )(dist)
+
+        dist = -(dist**2)
+        dist = jnp.exp(dist - jnp.max(dist, axis=-1, keepdims=True))
+        divisor = 1.0 / jnp.sum(dist, axis=-1, keepdims=True)
+
+        fx = dist * _unfold_channels(flow[..., 0:1], k)
+        fy = dist * _unfold_channels(flow[..., 1:2], k)
+        sx = _conv(1, 1, name="scale_x")(fx) * divisor
+        sy = _conv(1, 1, name="scale_y")(fy) * divisor
+        return jnp.concatenate([sx, sy], axis=-1)
+
+
+class _Features(nn.Module):
+    """6-level shared feature pyramid (ref lite_flow_net.py:35-86)."""
+
+    @nn.compact
+    def __call__(self, x):
+        f1 = _leaky(_conv(32, 7, name="one_0")(x))
+        f2 = _leaky(_conv(32, 3, 2, name="two_0")(f1))
+        f2 = _leaky(_conv(32, 3, name="two_1")(f2))
+        f2 = _leaky(_conv(32, 3, name="two_2")(f2))
+        f3 = _leaky(_conv(64, 3, 2, name="thr_0")(f2))
+        f3 = _leaky(_conv(64, 3, name="thr_1")(f3))
+        f4 = _leaky(_conv(96, 3, 2, name="fou_0")(f3))
+        f4 = _leaky(_conv(96, 3, name="fou_1")(f4))
+        f5 = _leaky(_conv(128, 3, 2, name="fiv_0")(f4))
+        f6 = _leaky(_conv(192, 3, 2, name="six_0")(f5))
+        return [f1, f2, f3, f4, f5, f6]
+
+
+class LiteFlowNet(nn.Module):
+    """Full coarse-to-fine flow network.
+
+    Call with two [N x H x W x 3] images (H, W divisible by 32, intensities
+    [0, 1]); returns {1: [N x H/4 x W/4 x 2], ..., 5: [N x H/64 x W/64 x 2]}
+    flows in full-resolution pixel units (ref lite_flow_net.py:285-325).
+    """
+
+    use_pallas: Any = None
+
+    @nn.compact
+    def __call__(self, img1, img2) -> Dict[int, Any]:
+        features = _Features(name="features")  # shared for both views
+        feats1: List = features(img1)
+        feats2: List = features(img2)
+
+        # image pyramid at feature resolutions (levels 2..6)
+        imgs1 = {1: img1}
+        imgs2 = {1: img2}
+        for lvl in range(2, 7):
+            h, w = feats1[lvl - 1].shape[1], feats1[lvl - 1].shape[2]
+            imgs1[lvl] = resize_bilinear(imgs1[lvl - 1], h, w)
+            imgs2[lvl] = resize_bilinear(imgs2[lvl - 1], h, w)
+
+        flow = None
+        flows = {}
+        for lvl in range(6, 1, -1):
+            f1, f2 = feats1[lvl - 1], feats2[lvl - 1]
+            flow = _Matching(
+                lvl, use_pallas=self.use_pallas, name=f"matching_{lvl}"
+            )(f1, f2, flow)
+            flow = _Subpixel(lvl, name=f"subpixel_{lvl}")(f1, f2, flow)
+            flow = _Regularization(lvl, name=f"regularization_{lvl}")(
+                imgs1[lvl], imgs2[lvl], f1, flow
+            )
+            flows[lvl - 1] = flow
+
+        return {i: flows[i] * (20.0 * 0.5**i) for i in flows}

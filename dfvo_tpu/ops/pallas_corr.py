@@ -1,0 +1,99 @@
+"""Pallas TPU kernel for the local cost volume.
+
+The TPU-native equivalent of the reference's CUDA correlation kernels
+(lite_flow_net/correlation.py:38-105, hd3/models/correlation.py): one fused
+VMEM pass computes all (2D+1)² displacement products, instead of XLA's
+shift-multiply-reduce chain touching HBM per displacement.
+
+Stride reduction: because every displacement is a multiple of the stride and
+the zero padding is D·s, the stride-s correlation equals the stride-1
+correlation of the phase-(0,0) subsampled maps:
+
+    corr(f1, f2, D, s) == corr(f1[::s, ::s], f2[::s, ::s], D, 1)
+
+so the kernel only ever implements stride 1 and the wrapper subsamples.
+
+The backward pass reuses XLA autodiff of the (identical) XLA forward via a
+custom VJP — needed because online finetuning differentiates through the
+flow network (the reference ships dedicated CUDA backward kernels for the
+same reason, correlation.py:108-236).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pallas_corr_stride1(f1, f2, max_disp):
+    """f1, f2: [N x H x W x C] -> [N x H x W x (2D+1)²]; one grid step per
+    batch item, everything resident in VMEM (LiteFlowNet/HD3 pyramid levels
+    are small: ≤ 48x160x192 floats ≈ 6 MB including the haloed copy)."""
+    n, h, w, c = f1.shape
+    d = max_disp
+    k_total = (2 * d + 1) ** 2
+    f2p = jnp.pad(f2, ((0, 0), (d, d), (d, d), (0, 0)))
+
+    def kernel(f1_ref, f2p_ref, out_ref):
+        f1b = f1_ref[0]
+        inv_c = 1.0 / c
+        for k in range(k_total):
+            dy = k // (2 * d + 1) - d
+            dx = k % (2 * d + 1) - d
+            f2s = f2p_ref[0, dy + d : dy + d + h, dx + d : dx + d + w, :]
+            out_ref[0, :, :, k] = jnp.sum(f1b * f2s, axis=-1) * inv_c
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, h, w, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, h + 2 * d, w + 2 * d, c),
+                lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, h, w, k_total), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, h, w, k_total), f1.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * h * w * c * k_total,
+            bytes_accessed=(2 * n * h * w * c + n * h * w * k_total) * 4,
+            transcendentals=0,
+        ),
+    )(f1, f2p)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def correlation_pallas(f1, f2, max_disp=3, stride=1):
+    """Fused cost volume on TPU; semantics identical to
+    :func:`dfvo_tpu.ops.correlation.correlation_xla`."""
+    if stride != 1:
+        f1 = f1[:, ::stride, ::stride, :]
+        f2 = f2[:, ::stride, ::stride, :]
+    return _pallas_corr_stride1(f1, f2, max_disp)
+
+
+def _corr_fwd(f1, f2, max_disp, stride):
+    return correlation_pallas(f1, f2, max_disp, stride), (f1, f2)
+
+
+def _corr_bwd(max_disp, stride, res, g):
+    from .correlation import correlation_xla
+
+    f1, f2 = res
+    _, vjp = jax.vjp(
+        lambda a, b: correlation_xla(a, b, max_disp=max_disp, stride=stride),
+        f1,
+        f2,
+    )
+    return vjp(g)
+
+
+correlation_pallas.defvjp(_corr_fwd, _corr_bwd)
