@@ -1,0 +1,186 @@
+"""Essential-matrix tracker: 2D-2D pose + triangulation-based scale recovery.
+
+Rebuild of /root/reference/libs/tracker/E_tracker.py as pure jit-friendly
+functions. Protocol parity with the reference:
+
+* H-vs-E GRIC model selection (E_tracker.py:195-275): a homography is fit
+  once, then each of the ``repeat`` RANSAC runs votes valid when
+  H_gric > E_gric; the majority of votes gates pose acceptance;
+* repeated RANSAC (x5 iterative / x3 otherwise, E_tracker.py:179,223) —
+  here the repeats are a vmap over independent PRNG keys rather than a
+  serial loop with data shuffling (shuffling only changes which samples
+  RANSAC draws; fresh keys achieve the same);
+* cheirality acceptance: > 10% of keypoints in front of both cameras
+  (E_tracker.py:299);
+* scale from triangulated-vs-CNN depth ratios with 1-D RANSAC, -1 sentinel
+  when fewer than 10 valid ratios (E_tracker.py:571-643).
+
+Everything is fixed-shape: keypoints arrive as [N x 2] arrays with validity
+masks straight from matching.kp_selection.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.ops import triangulate_depths
+from ..solvers.essential import find_essential_ransac, sampson_error
+from ..solvers.gric import calc_gric, fundamental_residual, homography_residual
+from ..solvers.homography import find_homography_ransac
+from ..solvers.scale import scale_ransac_1d
+from ..utils.precision import highp
+
+
+@functools.partial(
+    jax.jit, static_argnames=("repeats", "num_hypotheses", "validity_method")
+)
+@highp
+def compute_pose_2d2d(
+    rng,
+    kp_cur,
+    kp_ref,
+    valid_mask,
+    K,
+    K_inv,
+    reproj_thre=0.2,
+    repeats=5,
+    num_hypotheses=256,
+    validity_method="GRIC",
+):
+    """Pose (cur → ref) from 2D-2D correspondences with model selection.
+
+    Mirrors EssTracker.compute_pose_2d2d (E_tracker.py:154-307).
+
+    Args:
+        rng: PRNG key.
+        kp_cur, kp_ref: [N x 2] pixel correspondences.
+        valid_mask: [N] validity.
+        K, K_inv: intrinsics.
+        reproj_thre: RANSAC inlier threshold (pixels).
+        repeats: independent RANSAC runs voting on validity (static).
+        validity_method: 'GRIC' | 'flow' | 'none' (static).
+
+    Returns:
+        dict with ``R`` [3x3], ``t`` [3] (unit norm or zero), ``valid``
+        (scalar bool: majority vote AND cheirality passed — when False,
+        R=I, t=0 as in the reference), ``inliers`` [N].
+    """
+    n_valid = jnp.sum(valid_mask)
+    nf = n_valid.astype(kp_cur.dtype)
+
+    # --- homography reference score (once, E_tracker.py:199-215)
+    if validity_method == "GRIC":
+        h_out = find_homography_ransac(
+            rng, kp_cur, kp_ref, valid_mask, threshold=1.0,
+            num_hypotheses=num_hypotheses,
+        )
+        h_res = homography_residual(h_out["H"], kp_cur, kp_ref, mask=valid_mask)
+        h_gric = calc_gric(h_res, 0.8, nf, "HMat", mask=valid_mask)
+
+    keys = jax.random.split(rng, repeats)
+    e_outs = jax.vmap(
+        lambda k: find_essential_ransac(
+            k, kp_cur, kp_ref, K, K_inv, valid_mask,
+            threshold=reproj_thre, num_hypotheses=num_hypotheses,
+        )
+    )(keys)
+
+    # validity vote per repeat
+    if validity_method == "GRIC":
+        def e_gric_one(E):
+            F = K_inv.T @ E @ K_inv
+            e_res = fundamental_residual(F, kp_cur, kp_ref, mask=valid_mask)
+            return calc_gric(e_res, 0.8, nf, "EMat", mask=valid_mask)
+
+        e_grics = jax.vmap(e_gric_one)(e_outs["E"])
+        votes = h_gric > e_grics
+        # the reference skips GRIC entirely for <=10 kps (E_tracker.py:196)
+        votes = votes & (n_valid > 10)
+    elif validity_method == "flow":
+        avg_flow = jnp.sum(
+            jnp.linalg.norm(kp_ref - kp_cur, axis=1) * valid_mask
+        ) / jnp.maximum(nf, 1.0)
+        votes = jnp.broadcast_to(avg_flow > 1.0, (repeats,))
+    else:
+        votes = jnp.ones((repeats,), bool)
+
+    best = jnp.argmax(e_outs["inlier_cnt"])
+    major_valid = jnp.sum(votes) > repeats / 2
+    cheirality_ok = e_outs["cheirality_cnt"][best] > n_valid * 0.1
+    accept = major_valid & cheirality_ok
+
+    eye = jnp.eye(3, dtype=kp_cur.dtype)
+    zero_t = jnp.zeros(3, dtype=kp_cur.dtype)
+    return {
+        "R": jnp.where(accept, e_outs["R"][best], eye),
+        "t": jnp.where(accept, e_outs["t"][best], zero_t),
+        "valid": accept,
+        "inliers": e_outs["inliers"][best],
+        "inlier_cnt": e_outs["inlier_cnt"][best],
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("max_trials", "min_samples"))
+@highp
+def find_scale_from_depth(
+    rng,
+    kp_ref,
+    kp_cur,
+    valid_mask,
+    T_ref_to_cur,
+    depth_cur,
+    K_inv,
+    ransac_thre=0.1,
+    max_trials=100,
+    min_samples=3,
+):
+    """Metric scale for a unit-translation pose by comparing triangulated
+    depths against CNN depths (EssTracker.find_scale_from_depth,
+    E_tracker.py:571-643).
+
+    Args:
+        rng: PRNG key.
+        kp_ref, kp_cur: [N x 2] pixel correspondences (view 1 = ref,
+            view 2 = cur, matching the reference's kp1/kp2).
+        valid_mask: [N] validity.
+        T_ref_to_cur: [4 x 4] relative pose with unit translation
+            (the reference's T_21 = E_pose.inv_pose).
+        depth_cur: [H x W] preprocessed CNN depth of the current view
+            (zeros = invalid).
+        K_inv: [3 x 3] inverse intrinsics.
+
+    Returns:
+        dict with ``scale`` (float; -1 when < 10 valid ratios) and
+        ``valid_cnt``.
+    """
+    h, w = depth_cur.shape
+
+    def norm(kp):
+        ones = jnp.ones_like(kp[:, :1])
+        return (jnp.concatenate([kp, ones], axis=-1) @ K_inv.T)[:, :2]
+
+    T_1w = jnp.eye(4, dtype=kp_ref.dtype)
+    _, _, z_cur = triangulate_depths(
+        norm(kp_ref), norm(kp_cur), T_1w, T_ref_to_cur
+    )
+
+    # CNN depth at current-view keypoints (integer pixel, like the
+    # reference's sparse-depth-map scatter/readback, ops_3d.py:15-41)
+    xi = jnp.floor(kp_cur[:, 0]).astype(jnp.int32)
+    yi = jnp.floor(kp_cur[:, 1]).astype(jnp.int32)
+    in_bounds = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+    xi = jnp.clip(xi, 0, w - 1)
+    yi = jnp.clip(yi, 0, h - 1)
+    d_cnn = depth_cur[yi, xi]
+
+    ok = valid_mask & in_bounds & (z_cur > 0) & (d_cnn > 0)
+    ratios = jnp.where(ok, z_cur / jnp.maximum(d_cnn, 1e-12), 0.0)
+    valid_cnt = jnp.sum(ok)
+
+    fit = scale_ransac_1d(
+        rng, ratios, ok, threshold=ransac_thre,
+        num_hypotheses=max_trials, min_samples=min_samples,
+    )
+    scale = jnp.where(valid_cnt > 10, fit["scale"], -1.0)
+    return {"scale": scale, "valid_cnt": valid_cnt}
