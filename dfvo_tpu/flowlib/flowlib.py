@@ -1,0 +1,147 @@
+"""Optical-flow IO and visualization.
+
+Rebuild of /root/reference/libs/flowlib/flowlib.py: Middlebury color coding
+(vectorized instead of the reference's per-bin loop), .flo file IO, and
+KITTI 2012/2015 16-bit PNG flow format (for the flow-prediction export tool).
+"""
+
+import numpy as np
+
+UNKNOWN_FLOW_THRESH = 1e7
+TAG_FLOAT = 202021.25
+
+
+def make_color_wheel():
+    """Middlebury color wheel [55 x 3] (ref flowlib.py:342-395)."""
+    RY, YG, GC, CB, BM, MR = 15, 6, 4, 11, 13, 6
+    ncols = RY + YG + GC + CB + BM + MR
+    wheel = np.zeros((ncols, 3))
+    col = 0
+    wheel[:RY, 0] = 255
+    wheel[:RY, 1] = np.floor(255 * np.arange(RY) / RY)
+    col += RY
+    wheel[col : col + YG, 0] = 255 - np.floor(255 * np.arange(YG) / YG)
+    wheel[col : col + YG, 1] = 255
+    col += YG
+    wheel[col : col + GC, 1] = 255
+    wheel[col : col + GC, 2] = np.floor(255 * np.arange(GC) / GC)
+    col += GC
+    wheel[col : col + CB, 1] = 255 - np.floor(255 * np.arange(CB) / CB)
+    wheel[col : col + CB, 2] = 255
+    col += CB
+    wheel[col : col + BM, 2] = 255
+    wheel[col : col + BM, 0] = np.floor(255 * np.arange(BM) / BM)
+    col += BM
+    wheel[col : col + MR, 2] = 255 - np.floor(255 * np.arange(MR) / MR)
+    wheel[col : col + MR, 0] = 255
+    return wheel
+
+
+_WHEEL = make_color_wheel()
+
+
+def compute_color(u, v):
+    """Flow components -> RGB uint8 via the Middlebury wheel (vectorized
+    equivalent of ref flowlib.py:298-339)."""
+    ncols = _WHEEL.shape[0]
+    nan_mask = np.isnan(u) | np.isnan(v)
+    u = np.where(nan_mask, 0, u)
+    v = np.where(nan_mask, 0, v)
+
+    rad = np.sqrt(u**2 + v**2)
+    a = np.arctan2(-v, -u) / np.pi
+    fk = (a + 1) / 2 * (ncols - 1)
+    k0 = np.floor(fk).astype(int)
+    k1 = (k0 + 1) % ncols
+    f = fk - k0
+
+    img = np.zeros(u.shape + (3,), np.uint8)
+    for i in range(3):
+        col0 = _WHEEL[k0, i] / 255.0
+        col1 = _WHEEL[k1, i] / 255.0
+        col = (1 - f) * col0 + f * col1
+        small = rad <= 1
+        col = np.where(small, 1 - rad * (1 - col), col * 0.75)
+        img[..., i] = np.where(nan_mask, 0, np.floor(255 * col)).astype(
+            np.uint8
+        )
+    return img
+
+
+def flow_to_image(flow):
+    """[H x W x 2] flow -> RGB uint8 visualization, normalized by the max
+    radius (ref flowlib.py:186-231)."""
+    u = flow[..., 0].astype(np.float64).copy()
+    v = flow[..., 1].astype(np.float64).copy()
+    bad = (np.abs(u) > UNKNOWN_FLOW_THRESH) | (np.abs(v) > UNKNOWN_FLOW_THRESH)
+    u[bad] = 0
+    v[bad] = 0
+    rad = np.sqrt(u**2 + v**2)
+    maxrad = max(-1, rad.max()) if rad.size else -1
+    eps = np.finfo(float).eps
+    u = u / (maxrad + eps)
+    v = v / (maxrad + eps)
+    img = compute_color(u, v)
+    img[bad] = 0
+    return img
+
+
+def read_flow(filename):
+    """Read a Middlebury .flo file -> [H x W x 2] (ref flowlib.py:397-426)."""
+    with open(filename, "rb") as f:
+        tag = np.fromfile(f, np.float32, count=1)[0]
+        if tag != TAG_FLOAT:
+            raise ValueError(f"invalid .flo file: {filename}")
+        w = int(np.fromfile(f, np.int32, count=1)[0])
+        h = int(np.fromfile(f, np.int32, count=1)[0])
+        data = np.fromfile(f, np.float32, count=2 * w * h)
+    return data.reshape(h, w, 2)
+
+
+def write_flow(flow, filename):
+    """Write a Middlebury .flo file (ref flowlib.py:428-451)."""
+    with open(filename, "wb") as f:
+        np.array([TAG_FLOAT], np.float32).tofile(f)
+        h, w = flow.shape[:2]
+        np.array([w], np.int32).tofile(f)
+        np.array([h], np.int32).tofile(f)
+        flow.astype(np.float32).tofile(f)
+
+
+def write_kitti_png_flow(flow, filename, mask=None):
+    """Write KITTI-format 16-bit PNG flow: (u, v) * 64 + 2^15, channel 3 =
+    validity (ref flowlib.py:467-491 via tools/generate_flow_prediction.py)."""
+    import cv2
+
+    h, w = flow.shape[:2]
+    out = np.zeros((h, w, 3), np.uint16)
+    out[..., 2] = np.clip(flow[..., 0] * 64.0 + 2**15, 0, 65535).astype(
+        np.uint16
+    )
+    out[..., 1] = np.clip(flow[..., 1] * 64.0 + 2**15, 0, 65535).astype(
+        np.uint16
+    )
+    out[..., 0] = 1 if mask is None else mask.astype(np.uint16)
+    cv2.imwrite(filename, out)
+
+
+def read_kitti_png_flow(filename):
+    """Read KITTI-format 16-bit PNG flow -> ([H x W x 2] flow, [H x W] valid)."""
+    import cv2
+
+    raw = cv2.imread(filename, -1)
+    flow = np.zeros(raw.shape[:2] + (2,), np.float64)
+    flow[..., 0] = (raw[..., 2].astype(np.float64) - 2**15) / 64.0
+    flow[..., 1] = (raw[..., 1].astype(np.float64) - 2**15) / 64.0
+    return flow, raw[..., 0].astype(bool)
+
+
+def resize_flow(flow, new_h, new_w):
+    """Resize flow with magnitude rescaling (ref flowlib.py:492-511)."""
+    import cv2
+
+    h, w = flow.shape[:2]
+    out = cv2.resize(flow, (new_w, new_h))
+    out[..., 0] *= new_w / w
+    out[..., 1] *= new_h / h
+    return out

@@ -1,0 +1,206 @@
+"""DF-VO core pipeline: the per-frame loop orchestrating the fused device
+step.
+
+Rebuild of /root/reference/libs/dfvo.py:33-425. The host loop only decodes
+images, chains 4x4 poses, and drives visualization/saving; everything else —
+depth + bidirectional flow inference, keypoint selection, essential/PnP
+RANSAC, scale recovery — is ONE jitted device computation per frame pair
+(vs the reference's ≥4 host↔GPU round trips per frame, SURVEY.md §1).
+"""
+
+import os
+
+import numpy as np
+from tqdm import tqdm
+
+import jax
+import jax.numpy as jnp
+
+from ..datasets import datasets as dataset_registry
+from ..geometry.camera import SE3
+from ..utils.io import mkdir_if_not_exists
+from ..utils.timer import Timer
+from .frontend import DeepFrontend
+from .tracking import TrackingConfig, tracking_step
+
+
+class DFVO:
+    def __init__(self, cfg):
+        self.cfg = cfg
+        self.tracking_stage = 0
+        self.global_poses = {0: SE3()}
+        self.ref_data = {}
+        self.cur_data = {}
+        self.setup()
+
+    def setup(self):
+        self.timers = Timer()
+        self.dataset = dataset_registry[self.cfg.dataset](self.cfg)
+        self.tracking_method = self.cfg.tracking_method
+        self.tcfg = TrackingConfig.from_cfg(self.cfg)
+
+        self.frontend = DeepFrontend(self.cfg)
+        rng = jax.random.PRNGKey(self.cfg.seed)
+        self.variables = self.frontend.load_variables(rng)
+
+        K = self.dataset.cam_intrinsics
+        self.K = jnp.asarray(K.mat, jnp.float32)
+        self.K_inv = jnp.asarray(K.inv_mat, jnp.float32)
+
+        self.drawer = None
+        if self.cfg.visualization.enable:
+            from .frame_drawer import FrameDrawer
+
+            self.drawer = FrameDrawer(self.cfg)
+
+        self._build_step_fns()
+
+    # ------------------------------------------------------------------
+    def _build_step_fns(self):
+        frontend = self.frontend
+        tcfg = self.tcfg
+
+        @jax.jit
+        def depth_only(variables, img_u8):
+            img = img_u8.astype(jnp.float32) / 255.0
+            out = frontend.depth_net.apply(variables["depth"], img[None])
+            return out["depth"][0]
+
+        @jax.jit
+        def full_step(variables, img_cur_u8, img_ref_u8, depth_ref_raw,
+                      prev_motion, rng, K, K_inv):
+            img_cur = img_cur_u8.astype(jnp.float32) / 255.0
+            img_ref = img_ref_u8.astype(jnp.float32) / 255.0
+            fo = frontend.infer(variables, img_cur, img_ref)
+            tr = tracking_step(
+                rng,
+                fo["flow_fwd"],
+                fo["flow_diff"],
+                fo["depth_cur"],
+                depth_ref_raw,
+                prev_motion,
+                K,
+                K_inv,
+                tcfg,
+            )
+            return {
+                "pose": tr["pose"],
+                "mode": tr["mode"],
+                "scale": tr["scale"],
+                "depth_cur_raw": fo["depth_cur"],
+                "flow_fwd": fo["flow_fwd"],
+                "flow_diff": fo["flow_diff"],
+                "kp_ref": tr["kp_ref"],
+                "kp_cur": tr["kp_cur"],
+                "kp_valid": tr["kp_valid"],
+                "inliers": tr["inliers"],
+                "depth_cur": tr["depth_cur"],
+            }
+
+        self._depth_only = depth_only
+        self._full_step = full_step
+
+    def update_global_pose(self, new_pose, scale=1.0):
+        """Chain the relative pose into the global trajectory
+        (ref dfvo.py:109-119)."""
+        pose = self.cur_data["pose"]
+        pose.t = pose.R @ new_pose.t * scale + pose.t
+        pose.R = pose.R @ new_pose.R
+        self.global_poses[self.cur_data["id"]] = pose.copy()
+
+    # ------------------------------------------------------------------
+    def run_frame(self, img_id):
+        """Process one frame; returns the tracking mode string."""
+        self.cur_data["id"] = img_id
+        self.cur_data["timestamp"] = self.dataset.get_timestamp(img_id)
+
+        with self.timers.scope("data_loading", "DF-VO"):
+            img = self.dataset.get_image(self.cur_data["timestamp"])
+            self.cur_data["img"] = img
+            img_dev = jnp.asarray(img, jnp.uint8)
+
+        mode = "None"
+        if self.tracking_stage == 0:
+            # first frame: initialize pose (+ depth for PnP on frame 1)
+            if self.cfg.directory.gt_pose_dir is not None:
+                self.cur_data["pose"] = SE3(
+                    self.dataset.gt_poses[min(self.dataset.gt_poses.keys())]
+                )
+            else:
+                self.cur_data["pose"] = SE3()
+            self.ref_data["motion"] = SE3()
+            with self.timers.scope("depth_cnn", "DF-VO"):
+                self.cur_data["raw_depth_dev"] = self._depth_only(
+                    self.variables, img_dev
+                )
+        else:
+            with self.timers.scope("vo_step", "DF-VO"):
+                rng = jax.random.fold_in(
+                    jax.random.PRNGKey(self.cfg.seed), img_id
+                )
+                out = self._full_step(
+                    self.variables,
+                    img_dev,
+                    self.ref_data["img_dev"],
+                    self.ref_data["raw_depth_dev"],
+                    jnp.asarray(
+                        self.ref_data["motion"].pose, jnp.float32
+                    ),
+                    rng,
+                    self.K,
+                    self.K_inv,
+                )
+            pose_rel = SE3(np.asarray(out["pose"], np.float64))
+            mode = {0: "Const.", 1: "Ess. Mat.", 2: "PnP"}[
+                int(out["mode"])
+            ]
+            self.cur_data["pose"] = self.global_poses[
+                self.ref_data["id"]
+            ].copy()
+            self.ref_data["motion"] = pose_rel.copy()
+            self.update_global_pose(pose_rel, 1.0)
+            self.cur_data["raw_depth_dev"] = out["depth_cur_raw"]
+            self.cur_data["vo_out"] = out
+
+            if self.drawer is not None:
+                with self.timers.scope("visualization", "DF-VO"):
+                    self.drawer.draw_frame(self, out)
+
+        # roll cur -> ref
+        self.ref_data = {
+            "id": self.cur_data["id"],
+            "img": self.cur_data["img"],
+            "img_dev": img_dev,
+            "raw_depth_dev": self.cur_data["raw_depth_dev"],
+            "motion": self.ref_data["motion"],
+        }
+        self.tracking_stage += 1
+        return mode
+
+    def main(self, start_frame=0, num_frames=None):
+        """Run the full sequence (ref dfvo.py:347-425)."""
+        print("==> Start DF-VO")
+        print(f"==> Running sequence: {self.cfg.seq}")
+        end = len(self.dataset)
+        if num_frames is not None:
+            end = min(end, start_frame + num_frames)
+        for img_id in tqdm(
+            range(start_frame, end, self.cfg.frame_step)
+        ):
+            self.timers.start("DF-VO")
+            self.run_frame(img_id)
+            self.timers.end("DF-VO")
+        print("=> Finish!")
+        self.save_results()
+
+    def save_results(self):
+        result_dir = self.cfg.directory.result_dir
+        mkdir_if_not_exists(result_dir)
+        print(f"The result is saved in [{result_dir}].")
+        if self.drawer is not None:
+            self.drawer.save_traj_map(
+                os.path.join(result_dir, "map.png")
+            )
+        traj_txt = os.path.join(result_dir, f"{self.cfg.seq}.txt")
+        self.dataset.save_result_traj(traj_txt, self.global_poses)
+        self.timers.time_analysis()

@@ -1,0 +1,158 @@
+"""Deep-model frontend: depth + flow (+ pose) inference as one fused jit.
+
+Rebuild of the reference facade (libs/deep_models/deep_models.py:25-229)
+without its four host↔device round trips per frame (SURVEY.md §1): images go
+in once, geometry-ready arrays come out, and the tracking step consumes them
+without leaving the device.
+"""
+
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..models import LiteFlowNet, Monodepth2Depth, Monodepth2Pose
+from ..models.layers import resize_bilinear
+from ..ops.warp import flow_to_coords, grid_sample
+
+
+def forward_backward_consistency(flow_fwd, flow_bwd):
+    """Flow inconsistency map |flow_fwd - warp(-flow_bwd)| per pixel
+    (ref deep_flow.py:171-196).
+
+    Args:
+        flow_fwd: [N x H x W x 2] forward flow (view1 -> view2).
+        flow_bwd: [N x H x W x 2] backward flow.
+
+    Returns:
+        [N x H x W] inconsistency norm.
+    """
+    coords = flow_to_coords(flow_fwd)
+    warped = grid_sample(-flow_bwd, coords, padding_mode="zeros")
+    return jnp.linalg.norm(flow_fwd - warped, axis=-1)
+
+
+def resize_dense_flow(flow, out_h, out_w):
+    """Bilinear flow resize with magnitude rescaling
+    (ref deep_flow.py:107-129, align_corners=True)."""
+    n, h, w, _ = flow.shape
+    resized = resize_bilinear(flow, out_h, out_w, align_corners=True)
+    scale = jnp.array([out_w / w, out_h / h], flow.dtype)
+    return resized * scale
+
+
+class DeepFrontend:
+    """Owns the Flax networks and the fused inference function."""
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+        self.h = cfg.image.height
+        self.w = cfg.image.width
+        dataset = cfg.dataset
+        if "kitti" in dataset or "robotcar" in dataset:
+            depth_kw = dict(min_depth=0.1, max_depth=100.0, baseline_multiplier=5.4)
+        elif "tum" in dataset:
+            depth_kw = dict(min_depth=0.1, max_depth=10.0, baseline_multiplier=1.0)
+        else:
+            depth_kw = dict(min_depth=0.1, max_depth=100.0, baseline_multiplier=5.4)
+        self.depth_net = Monodepth2Depth(**depth_kw)
+        self.flow_net = LiteFlowNet()
+        self.use_pose_net = bool(cfg.deep_pose.enable)
+        if self.use_pose_net:
+            self.pose_net = Monodepth2Pose(
+                baseline_multiplier=depth_kw["baseline_multiplier"]
+            )
+
+    # -- parameters ---------------------------------------------------------
+    def init_variables(self, rng):
+        """Random-init all network variables (shapes from config)."""
+        dummy = jnp.zeros((1, self.h, self.w, 3), jnp.float32)
+        k1, k2, k3 = jax.random.split(rng, 3)
+        variables = {
+            "depth": self.depth_net.init(k1, dummy),
+            "flow": self.flow_net.init(k2, dummy, dummy),
+        }
+        if self.use_pose_net:
+            dummy6 = jnp.zeros((1, self.h, self.w, 6), jnp.float32)
+            variables["pose"] = self.pose_net.init(k3, dummy6)
+        return variables
+
+    def load_variables(self, rng):
+        """Load converted torch-zoo weights when configured paths exist;
+        otherwise random-init (weights are not shipped in this environment)."""
+        variables = self.init_variables(rng)
+        from ..models import convert as C
+
+        depth_dir = str(self.cfg.depth.deep_depth.pretrained_model or "")
+        enc = os.path.join(depth_dir, "encoder.pth")
+        dec = os.path.join(depth_dir, "depth.pth")
+        if os.path.isfile(enc) and os.path.isfile(dec):
+            variables["depth"] = jax.tree.map(
+                jnp.asarray,
+                C.convert_monodepth2_depth(
+                    C.load_torch_state_dict(enc), C.load_torch_state_dict(dec)
+                ),
+            )
+            print(f"==> Initialize Depth-CNN with [{depth_dir}]")
+        flow_path = str(self.cfg.deep_flow.flow_net_weight or "")
+        if os.path.isfile(flow_path):
+            variables["flow"] = jax.tree.map(
+                jnp.asarray,
+                C.convert_liteflownet(C.load_torch_state_dict(flow_path)),
+            )
+            print(f"==> Initialize LiteFlowNet with [{flow_path}]")
+        if self.use_pose_net:
+            pose_dir = str(self.cfg.deep_pose.pretrained_model or "")
+            penc = os.path.join(pose_dir, "pose_encoder.pth")
+            pdec = os.path.join(pose_dir, "pose.pth")
+            if os.path.isfile(penc) and os.path.isfile(pdec):
+                variables["pose"] = jax.tree.map(
+                    jnp.asarray,
+                    C.convert_monodepth2_pose(
+                        C.load_torch_state_dict(penc),
+                        C.load_torch_state_dict(pdec),
+                    ),
+                )
+                print(f"==> Initialize Pose-CNN with [{pose_dir}]")
+        return variables
+
+    # -- fused inference ----------------------------------------------------
+    def infer(self, variables, img_cur, img_ref):
+        """Depth of the current view + bidirectional flow ref<->cur.
+
+        Args:
+            variables: network variables pytree.
+            img_cur, img_ref: [H x W x 3] float images in [0, 1].
+
+        Returns:
+            dict with ``depth_cur`` [H x W] (raw metric depth),
+            ``flow_fwd`` [H x W x 2] (ref -> cur, full-res pixels),
+            ``flow_bwd`` [H x W x 2], ``flow_diff`` [H x W].
+        """
+        img_cur = img_cur[None]
+        img_ref = img_ref[None]
+
+        depth_out = self.depth_net.apply(variables["depth"], img_cur)
+        depth_cur = depth_out["depth"][0]
+
+        # batched forward+backward like the reference (lite_flow.py:108-113)
+        img1 = jnp.concatenate([img_ref, img_cur], axis=0)
+        img2 = jnp.concatenate([img_cur, img_ref], axis=0)
+        flows = self.flow_net.apply(variables["flow"], img1, img2)
+        flow_full = resize_dense_flow(flows[1], self.h, self.w)
+        flow_fwd = flow_full[0:1]
+        flow_bwd = flow_full[1:2]
+        flow_diff = forward_backward_consistency(flow_fwd, flow_bwd)
+
+        out = {
+            "depth_cur": depth_cur,
+            "flow_fwd": flow_fwd[0],
+            "flow_bwd": flow_bwd[0],
+            "flow_diff": flow_diff[0],
+        }
+        if self.use_pose_net:
+            pair = jnp.concatenate([img_ref, img_cur], axis=-1)
+            out["deep_pose"] = self.pose_net.apply(variables["pose"], pair)[0]
+        return out

@@ -61,6 +61,66 @@ def pnp_from_sample(X, x_norm, weights=None):
 
 
 @highp
+def pnp_from_sample_planar(X, x_norm):
+    """Homography-based minimal pose for (near-)coplanar 3D points.
+
+    The projection-matrix DLT is degenerate when the sampled points are
+    coplanar (roads, walls — common in driving scenes; OpenCV's EPnP has a
+    dedicated planar case for the same reason). This solver fits the sample's
+    best plane, estimates the plane→image homography, and decomposes it into
+    (R, t) (Zhang-style pose from homography). For non-coplanar samples the
+    result is poor and simply loses the RANSAC vote.
+
+    Args:
+        X: [N x 3] object points (N >= 4).
+        x_norm: [N x 2] normalized image coords.
+
+    Returns:
+        (R [3x3], t [3]).
+    """
+    m = jnp.mean(X, axis=0)
+    Xc = X - m
+    C = Xc.T @ Xc
+    _, vecs = jnp.linalg.eigh(C)
+    normal = vecs[:, 0]
+    e1 = vecs[:, 2]
+    e2 = vecs[:, 1]
+    B = jnp.stack([e1, e2, normal], axis=1)  # world->plane basis (columns)
+    w = Xc @ B  # [N,3]; w[:,2] ~ 0 for coplanar samples
+
+    # homography from plane coords (w1, w2) to normalized image coords
+    ones = jnp.ones_like(w[:, :1])
+    p1 = jnp.concatenate([w[:, :2], ones], axis=-1)
+    p2 = jnp.concatenate([x_norm, ones], axis=-1)
+    # local import to avoid a cycle at module load
+    from .homography import homography_from_sample
+
+    H = homography_from_sample(p1, p2)
+
+    h1, h2, h3 = H[:, 0], H[:, 1], H[:, 2]
+    lam = 2.0 / jnp.maximum(
+        jnp.linalg.norm(h1) + jnp.linalg.norm(h2), 1e-12
+    )
+    r1 = h1 * lam
+    r2 = h2 * lam
+    t_p = h3 * lam
+    # enforce cheirality of the plane centroid (w=0 maps to t_p)
+    sign = jnp.where(t_p[2] < 0, -1.0, 1.0)
+    r1, r2, t_p = r1 * sign, r2 * sign, t_p * sign
+    r3 = jnp.cross(r1, r2)
+    R_p = jnp.stack([r1, r2, r3], axis=1)
+    # project to SO(3)
+    U, _, Vt = jnp.linalg.svd(R_p)
+    D = jnp.diag(jnp.array([1.0, 1.0, jnp.linalg.det(U @ Vt)], X.dtype))
+    R_p = U @ D @ Vt
+
+    # X_cam = R_p Bᵀ (X - m) + t_p
+    R = R_p @ B.T
+    t = t_p - R @ m
+    return R, t
+
+
+@highp
 def _reproj_err_sq(R, t, X, x_pix, K):
     """Squared pixel reprojection error; points behind the camera get +inf."""
     P = X @ R.T + t
@@ -139,7 +199,15 @@ def solve_pnp_ransac(
     )[:, :2]
 
     idx = sample_indices(rng, valid_mask, num_hypotheses, 6)
-    Rs, ts = jax.vmap(lambda i: pnp_from_sample(X[i], x_norm[i]))(idx)
+    # two minimal solvers per sample: projection-matrix DLT (general scenes)
+    # and plane-homography decomposition (coplanar scenes, where the DLT is
+    # degenerate); RANSAC scoring picks whichever explains the data
+    Rs_d, ts_d = jax.vmap(lambda i: pnp_from_sample(X[i], x_norm[i]))(idx)
+    Rs_p, ts_p = jax.vmap(lambda i: pnp_from_sample_planar(X[i], x_norm[i]))(
+        idx
+    )
+    Rs = jnp.concatenate([Rs_d, Rs_p], axis=0)
+    ts = jnp.concatenate([ts_d, ts_p], axis=0)
 
     errs = jax.vmap(lambda R, t: _reproj_err_sq(R, t, X, x_pix, K))(Rs, ts)
     inliers = (errs < reproj_threshold**2) & valid_mask[None, :]
