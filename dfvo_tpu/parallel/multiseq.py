@@ -1,0 +1,127 @@
+"""Multi-sequence parallel tracking and finetuning over a device mesh.
+
+The reference is strictly single-process/single-GPU (SURVEY.md §2.12).
+This module is the framework's new distributed capability: many video
+sequences tracked in parallel, one (or more) sequence per TPU core, via
+``jax.shard_map`` over a 1-D ``seq`` mesh axis. Network weights are
+replicated (tiny: ResNet-18 + LiteFlowNet ≈ 20 M params); only the frame
+batch is sharded, so the VO path needs no collectives at all — exactly the
+layout that keeps ICI idle except for the finetuning all-reduce.
+
+Distributed online finetuning shards frame pairs the same way and
+mean-psums the loss gradients across ``seq`` before a replicated Adam step
+(classic data parallelism; this is the "FULL training step" exercised by
+__graft_entry__.dryrun_multichip).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..pipeline.finetune import OnlineFinetuner
+from ..pipeline.frontend import DeepFrontend
+from ..pipeline.tracking import TrackingConfig, tracking_step
+
+
+def make_seq_mesh(devices=None, axis_name="seq"):
+    """1-D mesh over all (or given) devices."""
+    if devices is None:
+        devices = jax.devices()
+    import numpy as np
+
+    return Mesh(np.array(devices), (axis_name,))
+
+
+class MultiSeqRunner:
+    """Builds sharded multi-sequence step functions for a config."""
+
+    def __init__(self, cfg, mesh=None, axis_name="seq"):
+        self.cfg = cfg
+        self.axis_name = axis_name
+        self.mesh = mesh if mesh is not None else make_seq_mesh(axis_name=axis_name)
+        self.frontend = DeepFrontend(cfg)
+        self.tcfg = TrackingConfig.from_cfg(cfg)
+        self.finetuner = OnlineFinetuner(self.frontend, cfg)
+
+    # ------------------------------------------------------------------
+    def make_vo_step(self):
+        """Sharded batched VO step.
+
+        Returns a jitted fn(variables, img_cur_u8 [S x H x W x 3],
+        img_ref_u8 [S], depth_ref [S x H x W], prev_motion [S x 4 x 4],
+        rngs [S x 2], K [3x3], K_inv) -> (poses [S x 4 x 4], modes [S],
+        depth_cur [S x H x W]) with S sequences sharded over the mesh.
+        """
+        frontend = self.frontend
+        tcfg = self.tcfg
+
+        def one(variables, img_cur_u8, img_ref_u8, depth_ref, prev_motion, rng, K, K_inv):
+            img_cur = img_cur_u8.astype(jnp.float32) / 255.0
+            img_ref = img_ref_u8.astype(jnp.float32) / 255.0
+            fo = frontend.infer(variables, img_cur, img_ref)
+            tr = tracking_step(
+                rng, fo["flow_fwd"], fo["flow_diff"], fo["depth_cur"],
+                depth_ref, prev_motion, K, K_inv, tcfg,
+            )
+            return tr["pose"], tr["mode"], fo["depth_cur"]
+
+        def local_batch(variables, img_cur, img_ref, depth_ref, prev, rngs, K, K_inv):
+            return jax.vmap(
+                one, in_axes=(None, 0, 0, 0, 0, 0, None, None)
+            )(variables, img_cur, img_ref, depth_ref, prev, rngs, K, K_inv)
+
+        sharded = jax.shard_map(
+            local_batch,
+            mesh=self.mesh,
+            in_specs=(
+                P(),  # variables replicated
+                P(self.axis_name),
+                P(self.axis_name),
+                P(self.axis_name),
+                P(self.axis_name),
+                P(self.axis_name),
+                P(),
+                P(),
+            ),
+            out_specs=(P(self.axis_name), P(self.axis_name), P(self.axis_name)),
+            check_vma=False,
+        )
+        return jax.jit(sharded)
+
+    # ------------------------------------------------------------------
+    def make_train_step(self):
+        """Sharded distributed finetuning step (data-parallel over ``seq``).
+
+        Returns a jitted fn(variables, opt_state, img_ref [S x H x W x 3]
+        float, img_cur [S], poses [S x 4 x 4]) -> (variables, opt_state,
+        loss). Gradients are pmean-reduced over the mesh axis; parameters
+        and optimizer state stay replicated.
+        """
+        finetuner = self.finetuner
+        axis = self.axis_name
+
+        def local_train(variables, opt_state, img_ref, img_cur, poses):
+            trainable = finetuner._trainable(variables)
+            loss, grads = jax.value_and_grad(finetuner.loss_fn)(
+                trainable, variables, img_ref, img_cur, poses
+            )
+            grads = jax.lax.pmean(grads, axis)
+            loss = jax.lax.pmean(loss, axis)
+            updates, opt_state = finetuner.optimizer.update(
+                grads, opt_state, trainable
+            )
+            trainable = optax.apply_updates(trainable, updates)
+            variables = finetuner._merge(variables, trainable)
+            return variables, opt_state, loss
+
+        sharded = jax.shard_map(
+            local_train,
+            mesh=self.mesh,
+            in_specs=(P(), P(), P(axis), P(axis), P(axis)),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(sharded)

@@ -53,6 +53,17 @@ class DFVO:
 
             self.drawer = FrameDrawer(self.cfg)
 
+        # online finetuning (ref dfvo.py:80-81, :383-387)
+        self.finetuner = None
+        if self.cfg.online_finetune.enable:
+            from .finetune import OnlineFinetuner
+
+            self.finetuner = OnlineFinetuner(self.frontend, self.cfg)
+            self.opt_state = self.finetuner.init_state(
+                self.variables, K.mat, K.inv_mat
+            )
+            self.finetune_cnt = 0
+
         self._build_step_fns()
 
     # ------------------------------------------------------------------
@@ -161,6 +172,29 @@ class DFVO:
             self.update_global_pose(pose_rel, 1.0)
             self.cur_data["raw_depth_dev"] = out["depth_cur_raw"]
             self.cur_data["vo_out"] = out
+
+            # online finetuning with the DF-VO pose (ref dfvo.py:383-387)
+            if self.finetuner is not None and (
+                self.finetuner.num_frames is None
+                or self.finetune_cnt < self.finetuner.num_frames
+            ):
+                with self.timers.scope("finetune", "DF-VO"):
+                    img_ref_f = (
+                        self.ref_data["img_dev"].astype(jnp.float32) / 255.0
+                    )
+                    img_cur_f = img_dev.astype(jnp.float32) / 255.0
+                    (
+                        self.variables,
+                        self.opt_state,
+                        ft_loss,
+                    ) = self.finetuner.update(
+                        self.variables,
+                        self.opt_state,
+                        img_ref_f,
+                        img_cur_f,
+                        jnp.asarray(pose_rel.pose, jnp.float32),
+                    )
+                self.finetune_cnt += 1
 
             if self.drawer is not None:
                 with self.timers.scope("visualization", "DF-VO"):

@@ -1,0 +1,190 @@
+"""Online self-supervised finetuning of the flow/depth networks.
+
+Rebuild of the reference's online adaptation
+(libs/deep_models/deep_models.py:232-338 + flow losses deep_flow.py:226-344
++ depth losses depth/deep_depth.py:118-297) as a jitted optax update:
+
+* flow: multi-scale photometric warp loss (0.85 SSIM + 0.15 L1), edge-aware
+  smoothness of the mean-normalized flow magnitude (both directions), and
+  forward-backward consistency, each scaled by 1/2^s;
+* depth: photometric reprojection with the DF-VO pose (translation divided
+  by the 5.4 stereo multiplier, deep_models.py:257-260), identity
+  auto-masking (min with the unwarped loss), and normalized-disparity
+  smoothness;
+* one Adam step over the enabled networks' parameters; runs for
+  ``num_frames`` frames then stops (deep_models.py:268).
+
+``make_update_fn(axis_name=...)`` emits the same step with gradients
+psum-averaged over a mesh axis — the multi-sequence distributed training
+step (parallel/multiseq.py).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..geometry.ops import reproject
+from ..ops.losses import reprojection_loss, smooth_loss
+from ..ops.warp import grid_sample, flow_to_coords
+from .frontend import forward_backward_consistency, resize_dense_flow
+
+
+class OnlineFinetuner:
+    def __init__(self, frontend, cfg):
+        self.frontend = frontend
+        self.cfg = cfg
+        self.ft_cfg = cfg.online_finetune
+        self.lr = self.ft_cfg.lr
+        self.num_frames = self.ft_cfg.num_frames
+        self.train_flow = bool(self.ft_cfg.flow.enable)
+        self.train_depth = bool(self.ft_cfg.depth.enable)
+        self.optimizer = optax.adam(self.lr)
+        self.update = self.make_update_fn()
+
+    # -- loss pieces --------------------------------------------------------
+    def flow_loss(self, flow_vars, img_ref, img_cur):
+        """Flow finetuning loss over cfg scales (ref deep_flow.py:226-344)."""
+        h, w = self.frontend.h, self.frontend.w
+        img1 = jnp.concatenate([img_ref, img_cur], axis=0)  # fwd+bwd batch
+        img2 = jnp.concatenate([img_cur, img_ref], axis=0)
+        flows = self.frontend.flow_net.apply(flow_vars, img1, img2)
+
+        w_cons = self.ft_cfg.flow.loss.flow_consistency
+        w_smooth = self.ft_cfg.flow.loss.flow_smoothness
+        scales = list(self.ft_cfg.flow.scales)
+
+        total = 0.0
+        for s in scales:
+            flow_full = resize_dense_flow(flows[s], h, w)
+            f_fwd, f_bwd = flow_full[0:1], flow_full[1:2]
+
+            # photometric: warp cur into ref view by the forward flow
+            coords = flow_to_coords(f_fwd)
+            warped = grid_sample(img_cur, coords, padding_mode="border")
+            loss = jnp.mean(reprojection_loss(warped, img_ref))
+
+            # edge-aware smoothness of normalized flow magnitude (both dirs)
+            for f, img in ((f_fwd, img_ref), (f_bwd, img_cur)):
+                mag = jnp.linalg.norm(f, axis=-1, keepdims=True)
+                norm_flow = mag / (jnp.mean(mag, axis=(1, 2), keepdims=True) + 1e-7)
+                loss = loss + w_smooth * smooth_loss(norm_flow, img) / (2**s)
+
+            # forward-backward consistency
+            diff = forward_backward_consistency(f_fwd, f_bwd)
+            loss = loss + w_cons * jnp.mean(diff) / (2**s)
+            total = total + loss
+        return total / len(scales)
+
+    def depth_loss(self, depth_vars, img_ref, img_cur, poses_ref2cur):
+        """Depth finetuning loss (ref deep_depth.py:155-297): photometric
+        reprojection with identity auto-masking + disparity smoothness.
+        ``poses_ref2cur`` is batched [B x 4 x 4]."""
+        h, w = self.frontend.h, self.frontend.w
+        out = self.frontend.depth_net.apply(depth_vars, img_ref)
+        K = self._K
+        inv_K = self._K_inv
+
+        w_app = self.ft_cfg.depth.loss.apperance_loss
+        w_ds = self.ft_cfg.depth.loss.disparity_smoothness
+        scales = list(self.ft_cfg.depth.scales)
+
+        total = 0.0
+        for s in scales:
+            disp = out["disps"][s]
+            # upsample disparity to full res, convert to depth
+            from ..models.layers import resize_bilinear
+            from ..models.monodepth2 import disp_to_depth
+
+            disp_full = resize_bilinear(disp, h, w, align_corners=False)
+            _, depth = disp_to_depth(
+                disp_full[..., 0],
+                self.frontend.depth_net.min_depth,
+                self.frontend.depth_net.max_depth,
+            )
+            coords = reproject(depth, poses_ref2cur, K, inv_K)
+            warped = grid_sample(img_cur, coords, padding_mode="border")
+            reproj = reprojection_loss(warped, img_ref)
+            identity = reprojection_loss(img_cur, img_ref)
+            # identity auto-masking (monodepth2): per-pixel min
+            photo = jnp.mean(jnp.minimum(reproj, identity))
+
+            mean_disp = jnp.mean(disp, axis=(1, 2), keepdims=True)
+            norm_disp = disp / (mean_disp + 1e-7)
+            smooth = smooth_loss(norm_disp, resize_bilinear(
+                img_ref, disp.shape[1], disp.shape[2], align_corners=False
+            ))
+            total = total + w_app * photo + w_ds * smooth / (2**s)
+        return total / len(scales)
+
+    def loss_fn(self, trainable, variables, img_ref, img_cur, poses):
+        """Total finetuning loss for a batch of frame pairs
+        ([B x H x W x 3] images, [B x 4 x 4] DF-VO poses)."""
+        variables = dict(variables)
+        loss = 0.0
+        if self.train_flow:
+            flow_vars = {**variables["flow"], "params": trainable["flow"]}
+            loss = loss + self.flow_loss(flow_vars, img_ref, img_cur)
+        if self.train_depth:
+            depth_vars = dict(variables["depth"])
+            depth_vars["params"] = trainable["depth"]
+            # DF-VO pose: metric translation back to network scale
+            poses = poses.at[:, :3, 3].divide(
+                self.frontend.depth_net.baseline_multiplier
+            )
+            loss = loss + self.depth_loss(depth_vars, img_ref, img_cur, poses)
+        return loss
+
+    # -- update -------------------------------------------------------------
+    def make_update_fn(self, axis_name=None):
+        """Build the jitted finetuning step. With ``axis_name``, gradients
+        are mean-psummed across that mesh axis (distributed finetuning)."""
+
+        loss_fn = self.loss_fn
+
+        def update(variables, opt_state, img_ref, img_cur, pose):
+            trainable = self._trainable(variables)
+            loss, grads = jax.value_and_grad(loss_fn)(
+                trainable, variables, img_ref[None], img_cur[None], pose[None]
+            )
+            if axis_name is not None:
+                grads = jax.lax.pmean(grads, axis_name)
+                loss = jax.lax.pmean(loss, axis_name)
+            updates, opt_state = self.optimizer.update(
+                grads, opt_state, trainable
+            )
+            trainable = optax.apply_updates(trainable, updates)
+            variables = self._merge(variables, trainable)
+            return variables, opt_state, loss
+
+        if axis_name is None:
+            return jax.jit(update)
+        return update
+
+    def _trainable(self, variables):
+        t = {}
+        if self.train_flow:
+            t["flow"] = variables["flow"]["params"]
+        if self.train_depth:
+            t["depth"] = variables["depth"]["params"]
+        return t
+
+    def _merge(self, variables, trainable):
+        variables = dict(variables)
+        if self.train_flow:
+            variables["flow"] = {
+                **variables["flow"],
+                "params": trainable["flow"],
+            }
+        if self.train_depth:
+            variables["depth"] = {
+                **variables["depth"],
+                "params": trainable["depth"],
+            }
+        return variables
+
+    def init_state(self, variables, K, K_inv):
+        self._K = jnp.asarray(K, jnp.float32)
+        self._K_inv = jnp.asarray(K_inv, jnp.float32)
+        return self.optimizer.init(self._trainable(variables))

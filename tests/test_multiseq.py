@@ -1,0 +1,89 @@
+"""Multi-sequence sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def runner():
+    from dfvo_tpu.parallel import MultiSeqRunner, make_seq_mesh
+    from dfvo_tpu.utils import ConfigLoader
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = ConfigLoader().merge_cfg(
+        [os.path.join(repo, "options/examples/default_configuration.yml")]
+    )
+    cfg.image.height = 64
+    cfg.image.width = 96
+    cfg.tpu.ransac_hypotheses = 32
+    cfg.online_finetune.enable = True
+    cfg.online_finetune.flow.enable = True
+    cfg.online_finetune.flow.scales = [1]
+    cfg.online_finetune.depth.enable = False
+    mesh = make_seq_mesh(jax.devices()[:4])
+    return MultiSeqRunner(cfg, mesh=mesh)
+
+
+def _batch(runner, S):
+    h, w = runner.cfg.image.height, runner.cfg.image.width
+    rng = np.random.RandomState(0)
+    K = np.array(
+        [[0.58 * w, 0, 0.5 * w], [0, 1.92 * h, 0.5 * h], [0, 0, 1]], np.float32
+    )
+    return {
+        "img_cur": jnp.asarray(rng.randint(0, 255, (S, h, w, 3)), jnp.uint8),
+        "img_ref": jnp.asarray(rng.randint(0, 255, (S, h, w, 3)), jnp.uint8),
+        "depth_ref": jnp.asarray(rng.uniform(1, 40, (S, h, w)), jnp.float32),
+        "prev": jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (S, 4, 4)),
+        "rngs": jax.vmap(jax.random.PRNGKey)(jnp.arange(S, dtype=jnp.uint32)),
+        "K": jnp.asarray(K),
+        "K_inv": jnp.asarray(np.linalg.inv(K).astype(np.float32)),
+    }
+
+
+def test_multiseq_vo_step_shards_over_devices(runner):
+    S = 4
+    b = _batch(runner, S)
+    variables = runner.frontend.init_variables(jax.random.PRNGKey(0))
+    vo_step = runner.make_vo_step()
+    poses, modes, depth_cur = vo_step(
+        variables, b["img_cur"], b["img_ref"], b["depth_ref"], b["prev"],
+        b["rngs"], b["K"], b["K_inv"],
+    )
+    assert poses.shape == (S, 4, 4)
+    assert np.isfinite(np.asarray(poses)).all()
+    assert depth_cur.shape == (S, 64, 96)
+    # outputs actually sharded over the mesh axis
+    sharding = poses.sharding
+    assert len(sharding.device_set) == 4
+
+
+def test_multiseq_train_step_reduces_gradients(runner):
+    S = 4
+    b = _batch(runner, S)
+    variables = runner.frontend.init_variables(jax.random.PRNGKey(0))
+    opt_state = runner.finetuner.init_state(
+        variables, np.asarray(b["K"]), np.asarray(b["K_inv"])
+    )
+    train_step = runner.make_train_step()
+    img_ref_f = b["img_ref"].astype(jnp.float32) / 255.0
+    img_cur_f = b["img_cur"].astype(jnp.float32) / 255.0
+    new_vars, new_opt, loss = train_step(
+        variables, opt_state, img_ref_f, img_cur_f, b["prev"]
+    )
+    assert np.isfinite(float(loss))
+    # parameters actually changed (sum of absolute deltas over all leaves)
+    deltas = jax.tree.map(
+        lambda a, b: float(jnp.sum(jnp.abs(a - b))),
+        variables["flow"]["params"],
+        new_vars["flow"]["params"],
+    )
+    assert sum(jax.tree.leaves(deltas)) > 1e-3
+    # depth params untouched (finetuning disabled for depth)
+    b0 = jax.tree.leaves(variables["depth"]["params"])[0]
+    a0 = jax.tree.leaves(new_vars["depth"]["params"])[0]
+    np.testing.assert_array_equal(np.asarray(b0), np.asarray(a0))
