@@ -30,7 +30,11 @@ import jax.numpy as jnp
 def cell_index_table(h, w, num_row, num_col):
     """Static [n_cells x max_cell] table of flat pixel indices per cell,
     padded with -1. Raster order within each cell (needed by the uniform
-    variant of opt_rigid_flow_kp)."""
+    variant of opt_rigid_flow_kp).
+
+    Returns NUMPY (not jnp): the result is lru-cached and may first be
+    requested inside a jit trace — a cached jnp constant would be a leaked
+    tracer in every later trace."""
     cells = []
     for row in range(num_row):
         for col in range(num_col):
@@ -42,7 +46,7 @@ def cell_index_table(h, w, num_row, num_col):
     table = np.full((len(cells), max_len), -1, dtype=np.int32)
     for i, c in enumerate(cells):
         table[i, : len(c)] = c
-    return jnp.asarray(table)
+    return table
 
 
 class KPSelectionSpec:
@@ -195,7 +199,7 @@ def sampled_kp_indices(h, w, crop, num_kp):
     cw = x1 - x0
     xs = (kp_list % cw + x0).astype(np.float32)
     ys = (kp_list // cw + y0).astype(np.float32)
-    return jnp.asarray(np.stack([xs, ys], axis=-1))
+    return np.stack([xs, ys], axis=-1)
 
 
 @jax.jit

@@ -31,6 +31,7 @@ class DFVO:
         self.global_poses = {0: SE3()}
         self.ref_data = {}
         self.cur_data = {}
+        self.prev_scale = 1.0  # iterative scale recovery seed
         self.setup()
 
     def setup(self):
@@ -77,12 +78,30 @@ class DFVO:
             out = frontend.depth_net.apply(variables["depth"], img[None])
             return out["depth"][0]
 
+        deep_pose_mode = self.tracking_method == "deep_pose"
+
         @jax.jit
         def full_step(variables, img_cur_u8, img_ref_u8, depth_ref_raw,
-                      prev_motion, rng, K, K_inv):
+                      prev_motion, rng, K, K_inv, prev_scale):
             img_cur = img_cur_u8.astype(jnp.float32) / 255.0
             img_ref = img_ref_u8.astype(jnp.float32) / 255.0
             fo = frontend.infer(variables, img_cur, img_ref)
+            if deep_pose_mode:
+                # pure pose-CNN tracking (ref dfvo.py:252-255)
+                n = 1
+                return {
+                    "pose": fo["deep_pose"],
+                    "mode": jnp.asarray(3),
+                    "scale": jnp.asarray(1.0),
+                    "depth_cur_raw": fo["depth_cur"],
+                    "flow_fwd": fo["flow_fwd"],
+                    "flow_diff": fo["flow_diff"],
+                    "kp_ref": jnp.zeros((n, 2), jnp.float32),
+                    "kp_cur": jnp.zeros((n, 2), jnp.float32),
+                    "kp_valid": jnp.zeros(n, bool),
+                    "inliers": jnp.zeros(n, bool),
+                    "depth_cur": fo["depth_cur"],
+                }
             tr = tracking_step(
                 rng,
                 fo["flow_fwd"],
@@ -93,6 +112,8 @@ class DFVO:
                 K,
                 K_inv,
                 tcfg,
+                prev_scale=prev_scale,
+                deep_pose=fo.get("deep_pose"),
             )
             return {
                 "pose": tr["pose"],
@@ -160,11 +181,15 @@ class DFVO:
                     rng,
                     self.K,
                     self.K_inv,
+                    jnp.asarray(self.prev_scale, jnp.float32),
                 )
             pose_rel = SE3(np.asarray(out["pose"], np.float64))
-            mode = {0: "Const.", 1: "Ess. Mat.", 2: "PnP"}[
+            mode = {0: "Const.", 1: "Ess. Mat.", 2: "PnP", 3: "DeepPose"}[
                 int(out["mode"])
             ]
+            scale_out = float(out["scale"])
+            if scale_out > 0:
+                self.prev_scale = scale_out
             self.cur_data["pose"] = self.global_poses[
                 self.ref_data["id"]
             ].copy()

@@ -2,14 +2,20 @@
 
 This is the reference's per-frame ``DFVO.tracking()`` decision tree
 (libs/dfvo.py:121-262) expressed as one jitted computation: keypoint
-selection, essential-matrix pose with GRIC validity, triangulation scale
-recovery, and the PnP fallback under ``lax.cond`` (so the fallback's cost is
-only paid on frames that need it). The scalar decisions mirror the
+selection (local best-N / best-N / uniform sampled, optional depth
+consistency), essential-matrix pose with GRIC validity, triangulation scale
+recovery (simple or iterative), optional rigid-flow iterative keypoint
+refinement, and the PnP fallback under ``lax.cond`` (so the fallback's cost
+is only paid on frames that need it). The scalar decisions mirror the
 reference exactly:
 
 * no good keypoints            -> constant-motion model (dfvo.py:157-161)
 * E valid and scale recovered  -> E pose with metric translation
 * ‖t‖ = 0 or scale = -1        -> PnP pose (dfvo.py:227-250)
+
+Config-driven stages (iterative kp, iterative scale, depth consistency) are
+*static* branches: they specialize the compiled program, not runtime
+control flow.
 """
 
 import functools
@@ -19,7 +25,16 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry.lie import make_se3, se3_inverse
-from ..matching.kp_selection import KPSelectionSpec, local_bestN
+from ..geometry.ops import backproject_depth, reproject, rigid_flow, transform_points
+from ..matching.kp_selection import (
+    KPSelectionSpec,
+    bestN_flow_kp,
+    local_bestN,
+    opt_rigid_flow_kp,
+    sampled_kp,
+    sampled_kp_indices,
+)
+from ..ops.warp import grid_sample
 from ..tracker.e_tracker import compute_pose_2d2d, find_scale_from_depth
 from ..tracker.pnp_tracker import compute_pose_3d2d
 
@@ -36,59 +51,99 @@ class TrackingConfig:
     # image / kp selection
     height: int = 192
     width: int = 640
+    kp_method: str = "local_bestN"  # local_bestN | bestN | sampled
     num_kp: int = 2000
     kp_rows: int = 10
     kp_cols: int = 10
     flow_diff_thre: float = 0.1
     kp_score_method: str = "flow"
+    flow_crop: tuple = ((0.0, 1.0), (0.0, 1.0))
+    # depth consistency kp filter (needs the pose CNN)
+    depth_consistency: bool = False
+    depth_consistency_thre: float = 0.05
     # depth preprocessing
     depth_crop: tuple = ((0.3, 1.0), (0.0, 1.0))
     min_depth: float = 0.0
     max_depth: float = 50.0
-    # e-tracker
+    # e-tracker (reference: 5 repeats when iterative kp is DISABLED,
+    # 3 on the coarse pass otherwise; E_tracker.py:179)
     e_reproj_thre: float = 0.2
-    e_repeats: int = 3  # reference: 3 when iterative_kp disabled, else 5
+    e_repeat: int = 5
+    e_iterative_kp: bool = False
+    e_iter_score_method: str = "opt_flow"
     validity_method: str = "GRIC"
+    # rigid-flow kp selection
+    rigid_rows: int = 10
+    rigid_cols: int = 10
+    rigid_num_kp: int = 2000
+    rigid_flow_thre: float = 5.0
+    optical_flow_thre: float = 0.1
     # scale recovery
+    scale_method: str = "simple"  # simple | iterative
     scale_ransac_thre: float = 0.1
     scale_max_trials: int = 100
     scale_min_samples: int = 3
+    scale_iterative_kp: bool = False
+    scale_iter_score_method: str = "rigid_flow"
     # pnp
     pnp_reproj_thre: float = 1.0
-    pnp_repeats: int = 3
+    pnp_repeat: int = 5
+    pnp_iterative_kp: bool = False
+    pnp_iter_score_method: str = "rigid_flow"
     # ransac batching
     num_hypotheses: int = 256
 
     @classmethod
     def from_cfg(cls, cfg):
-        crop = cfg.crop.depth_crop
+        dcrop = cfg.crop.depth_crop
+        fcrop = cfg.crop.flow_crop
+        kp_cfg = cfg.kp_selection
+        if kp_cfg.local_bestN.enable:
+            kp_method = "local_bestN"
+            num_kp = kp_cfg.local_bestN.num_bestN
+        elif kp_cfg.bestN.enable:
+            kp_method = "bestN"
+            num_kp = kp_cfg.bestN.num_bestN
+        elif kp_cfg.sampled_kp.enable:
+            kp_method = "sampled"
+            num_kp = kp_cfg.sampled_kp.num_kp
+        else:
+            raise ValueError("no keypoint selection method enabled")
         return cls(
             height=cfg.image.height,
             width=cfg.image.width,
-            num_kp=cfg.kp_selection.local_bestN.num_bestN,
-            kp_rows=cfg.kp_selection.local_bestN.num_row,
-            kp_cols=cfg.kp_selection.local_bestN.num_col,
-            flow_diff_thre=cfg.kp_selection.local_bestN.thre,
-            kp_score_method=cfg.kp_selection.local_bestN.score_method,
-            depth_crop=((crop[0][0], crop[0][1]), (crop[1][0], crop[1][1])),
+            kp_method=kp_method,
+            num_kp=num_kp,
+            kp_rows=kp_cfg.local_bestN.num_row,
+            kp_cols=kp_cfg.local_bestN.num_col,
+            flow_diff_thre=kp_cfg.local_bestN.thre,
+            kp_score_method=kp_cfg.local_bestN.score_method,
+            flow_crop=((fcrop[0][0], fcrop[0][1]), (fcrop[1][0], fcrop[1][1])),
+            depth_consistency=bool(kp_cfg.depth_consistency.enable),
+            depth_consistency_thre=kp_cfg.depth_consistency.thre,
+            depth_crop=((dcrop[0][0], dcrop[0][1]), (dcrop[1][0], dcrop[1][1])),
             min_depth=cfg.depth.min_depth,
             max_depth=cfg.depth.max_depth,
             e_reproj_thre=cfg.e_tracker.ransac.reproj_thre,
-            e_repeats=(
-                cfg.e_tracker.ransac.repeat
-                if cfg.e_tracker.iterative_kp.enable
-                else 3
-            ),
+            e_repeat=cfg.e_tracker.ransac.repeat,
+            e_iterative_kp=bool(cfg.e_tracker.iterative_kp.enable),
+            e_iter_score_method=cfg.e_tracker.iterative_kp.score_method,
             validity_method=cfg.e_tracker.validity.method,
+            rigid_rows=kp_cfg.rigid_flow_kp.num_row,
+            rigid_cols=kp_cfg.rigid_flow_kp.num_col,
+            rigid_num_kp=kp_cfg.rigid_flow_kp.num_bestN,
+            rigid_flow_thre=kp_cfg.rigid_flow_kp.rigid_flow_thre,
+            optical_flow_thre=kp_cfg.rigid_flow_kp.optical_flow_thre,
+            scale_method=cfg.scale_recovery.method,
             scale_ransac_thre=cfg.scale_recovery.ransac.thre,
             scale_max_trials=cfg.scale_recovery.ransac.max_trials,
             scale_min_samples=cfg.scale_recovery.ransac.min_samples,
+            scale_iterative_kp=bool(cfg.scale_recovery.iterative_kp.enable),
+            scale_iter_score_method=cfg.scale_recovery.iterative_kp.score_method,
             pnp_reproj_thre=cfg.pnp_tracker.ransac.reproj_thre,
-            pnp_repeats=(
-                cfg.pnp_tracker.ransac.repeat
-                if cfg.pnp_tracker.iterative_kp.enable
-                else 3
-            ),
+            pnp_repeat=cfg.pnp_tracker.ransac.repeat,
+            pnp_iterative_kp=bool(cfg.pnp_tracker.iterative_kp.enable),
+            pnp_iter_score_method=cfg.pnp_tracker.iterative_kp.score_method,
             num_hypotheses=cfg.tpu.ransac_hypotheses,
         )
 
@@ -106,6 +161,69 @@ def preprocess_depth_device(depth, crop, depth_range):
     return jnp.where(region & rng_mask, depth, 0.0)
 
 
+def compute_depth_consistency(depth_cur_raw, depth_ref_raw, T_deep, K, K_inv):
+    """Depth-consistency map from CNN depths + CNN pose
+    (ref libs/matching/depth_consistency.py:69-153): reproject the current
+    depth with the deep pose, sample the reference depth there, and take
+    |warped - reprojected| / reprojected clipped to [0, 1].
+    """
+    depth = depth_cur_raw[None]
+    coords = reproject(depth, T_deep[None], K, K_inv)
+    warp_depth = grid_sample(
+        depth_ref_raw[None, :, :, None], coords, padding_mode="border"
+    )[0, :, :, 0]
+    pts = backproject_depth(depth, K_inv)
+    reproj_depth = transform_points(pts, T_deep[None])[0, :, :, 2]
+    diff = jnp.abs(warp_depth - reproj_depth)
+    return jnp.clip(diff / jnp.maximum(reproj_depth, 1e-12), 0.0, 1.0)
+
+
+def _rigid_flow_kp(
+    rigid_spec, flow_fwd, flow_diff, depth_ref_raw, T_ref2cur, K, K_inv, tcfg,
+    score_method,
+):
+    """Rigid-optical flow consistent keypoints (ref
+    E_tracker.py:645-705): render the pose-induced flow from the reference
+    raw depth, compare against the optical flow, select per-cell."""
+    rflow = rigid_flow(depth_ref_raw[None], T_ref2cur[None], K, K_inv)[0]
+    rdiff = jnp.linalg.norm(rflow - flow_fwd, axis=-1)
+    return opt_rigid_flow_kp(
+        rigid_spec,
+        flow_fwd,
+        flow_diff,
+        rdiff,
+        rigid_thre=tcfg.rigid_flow_thre,
+        opt_thre=tcfg.optical_flow_thre,
+        score_method=score_method,
+    )
+
+
+def _select_keypoints(tcfg, flow_fwd, flow_diff, depth_diff):
+    """Dispatch on the configured keypoint method (ref
+    keypoint_sampler.py:76-143)."""
+    if tcfg.kp_method == "local_bestN":
+        spec = KPSelectionSpec(
+            tcfg.height, tcfg.width, tcfg.kp_rows, tcfg.kp_cols, tcfg.num_kp
+        )
+        return local_bestN(
+            spec,
+            flow_fwd,
+            flow_diff,
+            tcfg.flow_diff_thre,
+            score_method=tcfg.kp_score_method,
+            depth_diff=depth_diff,
+            depth_diff_thre=tcfg.depth_consistency_thre,
+        )
+    if tcfg.kp_method == "bestN":
+        return bestN_flow_kp(flow_fwd, flow_diff, tcfg.num_kp)
+    if tcfg.kp_method == "sampled":
+        kp1 = sampled_kp_indices(
+            tcfg.height, tcfg.width, tcfg.flow_crop, tcfg.num_kp
+        )
+        return sampled_kp(kp1, flow_fwd)
+    raise ValueError(f"unknown kp method: {tcfg.kp_method}")
+
+
 @functools.partial(jax.jit, static_argnames=("tcfg",))
 def tracking_step(
     rng,
@@ -117,6 +235,8 @@ def tracking_step(
     K,
     K_inv,
     tcfg: TrackingConfig,
+    prev_scale=1.0,
+    deep_pose=None,
 ):
     """One tracking decision-tree evaluation.
 
@@ -128,15 +248,15 @@ def tracking_step(
         prev_motion: [4 x 4] previous relative pose (constant-motion model).
         K, K_inv: [3 x 3] intrinsics.
         tcfg: static tracking configuration.
+        prev_scale: previous frame's scale (seed for iterative scale
+            recovery, ref E_tracker.py:528).
+        deep_pose: optional [4 x 4] pose-CNN prediction (depth consistency).
 
     Returns:
         dict with ``pose`` [4x4] relative pose (cur -> ref), ``mode``
-        (0 const / 1 essential / 2 pnp), ``good_kp_found``, keypoints and
-        inlier data for visualization.
+        (0 const / 1 essential / 2 pnp), ``good_kp_found``, ``scale``,
+        keypoints and inlier data for visualization.
     """
-    spec = KPSelectionSpec(
-        tcfg.height, tcfg.width, tcfg.kp_rows, tcfg.kp_cols, tcfg.num_kp
-    )
     crop = tcfg.depth_crop
     depth_cur = preprocess_depth_device(
         depth_cur_raw, crop, (tcfg.min_depth, tcfg.max_depth)
@@ -145,62 +265,176 @@ def tracking_step(
         depth_ref_raw, crop, (tcfg.min_depth, tcfg.max_depth)
     )
 
-    kp = local_bestN(
-        spec,
-        flow_fwd,
-        flow_diff,
-        tcfg.flow_diff_thre,
-        score_method=tcfg.kp_score_method,
-    )
+    depth_diff = None
+    if tcfg.depth_consistency and deep_pose is not None:
+        depth_diff = compute_depth_consistency(
+            depth_cur_raw, depth_ref_raw, deep_pose, K, K_inv
+        )
+
+    kp = _select_keypoints(tcfg, flow_fwd, flow_diff, depth_diff)
     kp_ref, kp_cur, valid = kp["kp1"], kp["kp2"], kp["valid"]
 
-    rng_e, rng_s, rng_p = jax.random.split(rng, 3)
+    rigid_spec = KPSelectionSpec(
+        tcfg.height, tcfg.width, tcfg.rigid_rows, tcfg.rigid_cols,
+        tcfg.rigid_num_kp,
+    )
 
+    keys = jax.random.split(rng, 8)
+
+    # ---- E-tracker (first pass; 3 repeats when a refined pass follows,
+    # ref E_tracker.py:179) -------------------------------------------------
     e_out = compute_pose_2d2d(
-        rng_e,
+        keys[0],
         kp_cur,
         kp_ref,
         valid,
         K,
         K_inv,
         reproj_thre=tcfg.e_reproj_thre,
-        repeats=tcfg.e_repeats,
+        repeats=3 if tcfg.e_iterative_kp else tcfg.e_repeat,
         num_hypotheses=tcfg.num_hypotheses,
         validity_method=tcfg.validity_method,
     )
     T_e = make_se3(e_out["R"], e_out["t"])  # cur -> ref, unit translation
 
-    scale_out = find_scale_from_depth(
-        rng_s,
-        kp_ref,
-        kp_cur,
-        valid,
-        se3_inverse(T_e),
-        depth_cur,
-        K_inv,
-        ransac_thre=tcfg.scale_ransac_thre,
-        max_trials=tcfg.scale_max_trials,
-        min_samples=tcfg.scale_min_samples,
-    )
-    scale = jnp.where(e_out["valid"], scale_out["scale"], -1.0)
+    # ---- scale recovery ---------------------------------------------------
+    def simple_scale(rng_s, kp_r, kp_c, v, T):
+        return find_scale_from_depth(
+            rng_s,
+            kp_r,
+            kp_c,
+            v,
+            se3_inverse(T),
+            depth_cur,
+            K_inv,
+            ransac_thre=tcfg.scale_ransac_thre,
+            max_trials=tcfg.scale_max_trials,
+            min_samples=tcfg.scale_min_samples,
+        )["scale"]
+
+    if tcfg.scale_method == "simple":
+        scale = simple_scale(keys[1], kp_ref, kp_cur, valid, T_e)
+    elif tcfg.scale_method == "iterative":
+        # 5 iterations of rigid-flow-consistent kp + scale refit, frozen
+        # once |Δscale| < 0.001 (ref E_tracker.py:509-569)
+        def body(i, carry):
+            scale, done = carry
+            T_scaled = T_e.at[:3, 3].multiply(scale)
+            rkp = _rigid_flow_kp(
+                rigid_spec, flow_fwd, flow_diff, depth_ref_raw,
+                se3_inverse(T_scaled), K, K_inv, tcfg,
+                tcfg.scale_iter_score_method,
+            )
+            new_scale = simple_scale(
+                jax.random.fold_in(keys[2], i),
+                rkp["kp1_uniform"],
+                rkp["kp2_uniform"],
+                rkp["valid_uniform"],
+                T_e,
+            )
+            delta = jnp.abs(new_scale - scale)
+            out_scale = jnp.where(done, scale, new_scale)
+            return out_scale, done | (delta < 0.001)
+
+        scale, _ = jax.lax.fori_loop(
+            0, 5, body, (jnp.asarray(prev_scale, jnp.float32), jnp.array(False))
+        )
+    else:
+        raise ValueError(f"unknown scale method: {tcfg.scale_method}")
+
+    scale = jnp.where(e_out["valid"], scale, -1.0)
+
+    # ---- iterative keypoint refinement (ref dfvo.py:195-222) -------------
+    if tcfg.e_iterative_kp:
+        T_hybrid = T_e.at[:3, 3].multiply(jnp.where(scale != -1, scale, 1.0))
+        rkp = _rigid_flow_kp(
+            rigid_spec, flow_fwd, flow_diff, depth_ref_raw,
+            se3_inverse(T_hybrid), K, K_inv, tcfg, tcfg.e_iter_score_method,
+        )
+        e_ref = compute_pose_2d2d(
+            keys[3],
+            rkp["kp2_best"],
+            rkp["kp1_best"],
+            rkp["valid_best"],
+            K,
+            K_inv,
+            reproj_thre=tcfg.e_reproj_thre,
+            repeats=tcfg.e_repeat,
+            num_hypotheses=tcfg.num_hypotheses,
+            validity_method=tcfg.validity_method,
+        )
+        # adopt the refined pose when it is valid; otherwise keep pass 1
+        use_ref = e_ref["valid"]
+        R2 = jnp.where(use_ref, e_ref["R"], e_out["R"])
+        t2 = jnp.where(use_ref, e_ref["t"], e_out["t"])
+        e_out = {
+            "R": R2,
+            "t": t2,
+            "valid": e_out["valid"] | e_ref["valid"],
+            "inliers": jnp.where(use_ref, e_ref["inliers"], e_out["inliers"]),
+            "inlier_cnt": jnp.where(
+                use_ref, e_ref["inlier_cnt"], e_out["inlier_cnt"]
+            ),
+        }
+        T_e = make_se3(e_out["R"], e_out["t"])
+        if tcfg.scale_iterative_kp:
+            scale_ref = simple_scale(
+                keys[4],
+                rkp["kp1_best"],
+                rkp["kp2_best"],
+                rkp["valid_best"],
+                T_e,
+            )
+            scale = jnp.where(e_out["valid"], scale_ref, -1.0)
+
     e_success = e_out["valid"] & (scale != -1.0)
     pose_e = T_e.at[:3, 3].multiply(scale)
 
+    # ---- PnP fallback (ref dfvo.py:227-250) -------------------------------
     def run_pnp(_):
-        return compute_pose_3d2d(
-            rng_p,
-            kp_ref,
-            kp_cur,
-            valid,
+        kp_r, kp_c, v = kp_ref, kp_cur, valid
+        out = compute_pose_3d2d(
+            keys[5],
+            kp_r,
+            kp_c,
+            v,
             depth_ref,
             K,
             K_inv,
             min_depth=tcfg.min_depth,
             max_depth=tcfg.max_depth,
             reproj_thre=tcfg.pnp_reproj_thre,
-            repeats=tcfg.pnp_repeats,
+            repeats=3 if tcfg.pnp_iterative_kp else tcfg.pnp_repeat,
             num_hypotheses=tcfg.num_hypotheses,
         )
+        if tcfg.pnp_iterative_kp:
+            rkp = _rigid_flow_kp(
+                rigid_spec, flow_fwd, flow_diff, depth_ref_raw,
+                se3_inverse(out["T"]), K, K_inv, tcfg,
+                tcfg.pnp_iter_score_method,
+            )
+            out2 = compute_pose_3d2d(
+                keys[6],
+                rkp["kp1_best"],
+                rkp["kp2_best"],
+                rkp["valid_best"],
+                depth_ref,
+                K,
+                K_inv,
+                min_depth=tcfg.min_depth,
+                max_depth=tcfg.max_depth,
+                reproj_thre=tcfg.pnp_reproj_thre,
+                repeats=tcfg.pnp_repeat,
+                num_hypotheses=tcfg.num_hypotheses,
+            )
+            use2 = out2["ok"]
+            out = {
+                "T": jnp.where(use2, out2["T"], out["T"]),
+                "ok": out["ok"] | out2["ok"],
+                "inliers": jnp.where(use2, out2["inliers"], out["inliers"]),
+                "mask": jnp.where(use2, out2["mask"], out["mask"]),
+            }
+        return out
 
     def skip_pnp(_):
         n = kp_ref.shape[0]
@@ -231,6 +465,6 @@ def tracking_step(
         "kp_cur": kp_cur,
         "kp_valid": valid,
         "inliers": jnp.where(e_success, e_out["inliers"], pnp_out["inliers"]),
-        "fb_flow_mask": kp["fb_flow_mask"],
+        "fb_flow_mask": kp.get("fb_flow_mask", flow_diff),
         "depth_cur": depth_cur,
     }
