@@ -262,4 +262,16 @@ class DFVO:
             )
         traj_txt = os.path.join(result_dir, f"{self.cfg.seq}.txt")
         self.dataset.save_result_traj(traj_txt, self.global_poses)
+
+        # save finetuned model (ref dfvo.py:420-422, deep_models.py:340-350)
+        if (
+            self.finetuner is not None
+            and self.cfg.online_finetune.save_model
+        ):
+            from ..utils.checkpoint import save_variables
+
+            ckpt_dir = os.path.join(result_dir, "finetuned_model")
+            save_variables(ckpt_dir, self.variables, self.opt_state)
+            print(f"Finetuned model is saved in [{ckpt_dir}].")
+
         self.timers.time_analysis()
