@@ -12,6 +12,8 @@ convs (C,1,4,4) → spatially flipped (4,4,1,C) dilated-correlation kernels
 (see models/liteflownet.py _DepthwiseDeconv2x).
 """
 
+import re
+
 import numpy as np
 
 
@@ -142,6 +144,97 @@ def convert_monodepth2_pose(encoder_sd, decoder_sd):
         "params": {"encoder": enc_p, "decoder": convert_pose_decoder(decoder_sd)},
         "batch_stats": {"encoder": enc_s},
     }
+
+
+# ---------------------------------------------------------------------------
+# generic name-mirroring converter (HD3)
+# ---------------------------------------------------------------------------
+
+# transposed convolutions need different axis handling than convs; these are
+# the only ConvTranspose2d sites in HD3 (dla_up.py IDAUp.up_i grouped;
+# hd3net.py Decoder.up[2] ungrouped)
+_DECONV_GROUPED = re.compile(r"(^|\.)up_\d+\.weight$")
+_DECONV_PLAIN = re.compile(r"Decoder_\d+\.up\.2\.weight$")
+
+
+def _merge_path(key):
+    """torch dotted path -> flax path components; Sequential indices merge
+    into the parent name (``base_layer.0`` -> ``base_layer_0``)."""
+    parts = []
+    for comp in key.split("."):
+        if comp.isdigit() and parts:
+            parts[-1] = f"{parts[-1]}_{comp}"
+        else:
+            parts.append(comp)
+    return parts
+
+
+def _put(tree, path, leaf, val):
+    node = tree
+    for comp in path:
+        node = node.setdefault(comp, {})
+    node[leaf] = val
+
+
+def convert_torch_module_tree(sd, prefix=""):
+    """Generic torch state dict -> (params, batch_stats) for flax modules
+    whose submodule names mirror the torch attribute tree (with Sequential
+    indices as ``_i`` suffixes). Used for the HD3 family."""
+    sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    bn_prefixes = {
+        k[: -len(".running_mean")]
+        for k in sd
+        if k.endswith(".running_mean")
+    }
+    params, stats = {}, {}
+    for key, val in sd.items():
+        if key.endswith(".num_batches_tracked"):
+            continue
+        mod_key, leaf = key.rsplit(".", 1)
+        path = _merge_path(mod_key)
+        if mod_key in bn_prefixes:
+            if leaf == "weight":
+                _put(params, path, "scale", _np(val))
+            elif leaf == "bias":
+                _put(params, path, "bias", _np(val))
+            elif leaf == "running_mean":
+                _put(stats, path, "mean", _np(val))
+            elif leaf == "running_var":
+                _put(stats, path, "var", _np(val))
+            continue
+        arr = _np(val)
+        if leaf == "weight" and arr.ndim == 4:
+            if _DECONV_GROUPED.search(key):
+                # grouped ConvTranspose (C, 1, k, k) -> (k, k, 1, C) flipped
+                w = arr[:, :, ::-1, ::-1]
+                _put(
+                    params, path, "kernel",
+                    np.ascontiguousarray(w.transpose(2, 3, 1, 0)),
+                )
+            elif _DECONV_PLAIN.search(key):
+                # plain ConvTranspose (Cin, Cout, k, k) -> (k, k, Cin, Cout)
+                w = arr[:, :, ::-1, ::-1]
+                _put(
+                    params, path, "kernel",
+                    np.ascontiguousarray(w.transpose(2, 3, 0, 1)),
+                )
+            else:
+                _put(params, path, "kernel", arr.transpose(2, 3, 1, 0))
+        elif leaf == "bias":
+            _put(params, path, "bias", arr)
+        elif leaf == "weight" and arr.ndim == 1:
+            _put(params, path, "scale", arr)
+        else:
+            raise ValueError(f"unhandled torch key: {key} (shape {arr.shape})")
+    return params, stats
+
+
+def convert_hd3(sd):
+    """HD3 checkpoint state dict -> flax variables for models.hd3.HD3Net.
+    Accepts checkpoints with the ``hd3net.`` (HD3Model wrapper) prefix."""
+    prefix = "hd3net." if any(k.startswith("hd3net.") for k in sd) else ""
+    params, stats = convert_torch_module_tree(sd, prefix=prefix)
+    return {"params": params, "batch_stats": stats}
 
 
 # ---------------------------------------------------------------------------

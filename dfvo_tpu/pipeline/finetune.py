@@ -40,6 +40,12 @@ class OnlineFinetuner:
         self.num_frames = self.ft_cfg.num_frames
         self.train_flow = bool(self.ft_cfg.flow.enable)
         self.train_depth = bool(self.ft_cfg.depth.enable)
+        if self.train_flow and getattr(frontend, "flow_kind", "liteflow") != "liteflow":
+            raise NotImplementedError(
+                "online flow finetuning supports the LiteFlowNet path "
+                "(the reference finetunes LiteFlowNet only; HD3's training "
+                "losses are a separate objective, hd3losses.py)"
+            )
         self.optimizer = optax.adam(self.lr)
         self.update = self.make_update_fn()
 
@@ -49,6 +55,12 @@ class OnlineFinetuner:
         h, w = self.frontend.h, self.frontend.w
         img1 = jnp.concatenate([img_ref, img_cur], axis=0)  # fwd+bwd batch
         img2 = jnp.concatenate([img_cur, img_ref], axis=0)
+        th, tw = getattr(self.frontend, "flow_feed", (h, w))
+        if (th, tw) != (h, w):
+            from ..models.layers import resize_bilinear
+
+            img1 = resize_bilinear(img1, th, tw, align_corners=True)
+            img2 = resize_bilinear(img2, th, tw, align_corners=True)
         flows = self.frontend.flow_net.apply(flow_vars, img1, img2)
 
         w_cons = self.ft_cfg.flow.loss.flow_consistency

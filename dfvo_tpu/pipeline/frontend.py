@@ -10,12 +10,31 @@ import os
 
 import numpy as np
 
+import math
+
 import jax
 import jax.numpy as jnp
 
 from ..models import LiteFlowNet, Monodepth2Depth, Monodepth2Pose
+from ..models.hd3 import HD3Net
 from ..models.layers import resize_bilinear
 from ..ops.warp import flow_to_coords, grid_sample
+
+
+def flow_target_size(h, w, divisor):
+    """Closest (th, tw) divisible by ``divisor`` with best aspect-ratio
+    match (ref deep_flow.py:89-105 for /32, hd3_flow.py:108-113 for /64)."""
+    hs = [divisor * (h // divisor), divisor * (h // divisor + 1)]
+    ws = [divisor * (w // divisor), divisor * (w // divisor + 1)]
+    best = None
+    for th in hs:
+        for tw in ws:
+            if th == 0 or tw == 0:
+                continue
+            ratio = abs(th / tw - h / w)
+            if best is None or ratio < best[0]:
+                best = (ratio, th, tw)
+    return best[1], best[2]
 
 
 def forward_backward_consistency(flow_fwd, flow_bwd):
@@ -58,7 +77,16 @@ class DeepFrontend:
         else:
             depth_kw = dict(min_depth=0.1, max_depth=100.0, baseline_multiplier=5.4)
         self.depth_net = Monodepth2Depth(**depth_kw)
-        self.flow_net = LiteFlowNet()
+        self.flow_kind = cfg.deep_flow.network
+        if self.flow_kind == "liteflow":
+            self.flow_net = LiteFlowNet()
+            self.flow_feed = flow_target_size(self.h, self.w, 32)
+        elif self.flow_kind == "hd3":
+            self.flow_net = HD3Net(task="flow", encoder="dlaup", decoder="hda",
+                                   corr_range=(4, 4, 4, 4, 4), context=False)
+            self.flow_feed = flow_target_size(self.h, self.w, 64)
+        else:
+            raise ValueError(f"unknown flow network: {self.flow_kind}")
         self.use_pose_net = bool(cfg.deep_pose.enable)
         if self.use_pose_net:
             self.pose_net = Monodepth2Pose(
@@ -69,10 +97,12 @@ class DeepFrontend:
     def init_variables(self, rng):
         """Random-init all network variables (shapes from config)."""
         dummy = jnp.zeros((1, self.h, self.w, 3), jnp.float32)
+        th, tw = self.flow_feed
+        dummy_f = jnp.zeros((1, th, tw, 3), jnp.float32)
         k1, k2, k3 = jax.random.split(rng, 3)
         variables = {
             "depth": self.depth_net.init(k1, dummy),
-            "flow": self.flow_net.init(k2, dummy, dummy),
+            "flow": self.flow_net.init(k2, dummy_f, dummy_f),
         }
         if self.use_pose_net:
             dummy6 = jnp.zeros((1, self.h, self.w, 6), jnp.float32)
@@ -98,11 +128,28 @@ class DeepFrontend:
             print(f"==> Initialize Depth-CNN with [{depth_dir}]")
         flow_path = str(self.cfg.deep_flow.flow_net_weight or "")
         if os.path.isfile(flow_path):
-            variables["flow"] = jax.tree.map(
-                jnp.asarray,
-                C.convert_liteflownet(C.load_torch_state_dict(flow_path)),
+            if self.flow_kind == "liteflow":
+                variables["flow"] = jax.tree.map(
+                    jnp.asarray,
+                    C.convert_liteflownet(C.load_torch_state_dict(flow_path)),
+                )
+            else:
+                import torch
+
+                ckpt = torch.load(flow_path, map_location="cpu",
+                                  weights_only=False)
+                sd = ckpt.get("state_dict", ckpt)
+                sd = {
+                    (k[len("module."):] if k.startswith("module.") else k): v
+                    for k, v in sd.items()
+                }
+                sd = {k: C._np(v) for k, v in sd.items() if hasattr(v, "shape")}
+                variables["flow"] = jax.tree.map(
+                    jnp.asarray, C.convert_hd3(sd)
+                )
+            print(
+                f"==> Initialize {self.flow_kind} flow net with [{flow_path}]"
             )
-            print(f"==> Initialize LiteFlowNet with [{flow_path}]")
         if self.use_pose_net:
             pose_dir = str(self.cfg.deep_pose.pretrained_model or "")
             penc = os.path.join(pose_dir, "pose_encoder.pth")
@@ -140,8 +187,20 @@ class DeepFrontend:
         # batched forward+backward like the reference (lite_flow.py:108-113)
         img1 = jnp.concatenate([img_ref, img_cur], axis=0)
         img2 = jnp.concatenate([img_cur, img_ref], axis=0)
-        flows = self.flow_net.apply(variables["flow"], img1, img2)
-        flow_full = resize_dense_flow(flows[1], self.h, self.w)
+        th, tw = self.flow_feed
+        if (th, tw) != (self.h, self.w):
+            img1f = resize_bilinear(img1, th, tw, align_corners=True)
+            img2f = resize_bilinear(img2, th, tw, align_corners=True)
+        else:
+            img1f, img2f = img1, img2
+        if self.flow_kind == "liteflow":
+            flows = self.flow_net.apply(variables["flow"], img1f, img2f)
+            flow_feed_res = flows[1]
+        else:
+            # HD3: final-level vector x 1/2^(7-levels) (hd3_flow.py:139-141)
+            _, ms_vect = self.flow_net.apply(variables["flow"], img1f, img2f)
+            flow_feed_res = ms_vect[-1] * (1.0 / 2 ** (7 - 5))
+        flow_full = resize_dense_flow(flow_feed_res, self.h, self.w)
         flow_fwd = flow_full[0:1]
         flow_bwd = flow_full[1:2]
         flow_diff = forward_backward_consistency(flow_fwd, flow_bwd)
