@@ -43,11 +43,15 @@ def so3_exp(w):
 
 
 def so3_log(R):
-    """Rotation matrix [...x3x3] -> axis-angle vector [...x3]."""
+    """Rotation matrix [...x3x3] -> axis-angle vector [...x3].
+
+    Uses atan2(|vee|, tr) instead of arccos so gradients stay finite at the
+    identity (arccos' derivative diverges at cos θ = 1, which NaN-poisons
+    Gauss-Newton Jacobians of zero residuals).
+    """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_theta = jnp.clip((trace - 1.0) / 2.0, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
-    # off-diagonal differences give sin(theta) * axis * 2
+    # off-diagonal differences give 2 sin(theta) * axis
     v = jnp.stack(
         [
             R[..., 2, 1] - R[..., 1, 2],
@@ -56,13 +60,11 @@ def so3_log(R):
         ],
         axis=-1,
     )
-    sin_theta = jnp.sin(theta)
-    small = theta < 1e-6
-    scale = jnp.where(
-        small,
-        0.5 + theta * theta / 12.0,  # series of theta / (2 sin(theta))
-        theta / jnp.where(small, 1.0, 2.0 * sin_theta + 1e-24),
-    )
+    two_sin_theta = jnp.sqrt(jnp.sum(v * v, axis=-1) + 1e-24)
+    theta = jnp.arctan2(0.5 * two_sin_theta, cos_theta)
+    small = theta < 1e-4
+    denom = jnp.where(small, 1.0, two_sin_theta)
+    scale = jnp.where(small, 0.5 + theta * theta / 12.0, theta / denom)
     return v * scale[..., None]
 
 
