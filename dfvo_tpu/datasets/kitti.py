@@ -80,12 +80,18 @@ class KittiOdom(KITTI):
             )
         )
 
-    def get_image(self, timestamp):
-        path = os.path.join(
+    def get_image_path(self, timestamp):
+        return os.path.join(
             self.data_dir["img"],
             f"{timestamp:06d}.{self.cfg.image.ext}",
         )
-        return read_image(path, self.cfg.image.height, self.cfg.image.width)
+
+    def get_image(self, timestamp):
+        return read_image(
+            self.get_image_path(timestamp),
+            self.cfg.image.height,
+            self.cfg.image.width,
+        )
 
     def get_depth(self, timestamp):
         img_id = self.rgb_d_pose_pair[timestamp]["depth"]
@@ -144,12 +150,18 @@ class KittiRaw(KITTI):
         )
         return load_poses_from_oxts(oxts_dir)
 
-    def get_image(self, timestamp):
-        path = os.path.join(
+    def get_image_path(self, timestamp):
+        return os.path.join(
             self.data_dir["img"],
             f"{timestamp:010d}.{self.cfg.image.ext}",
         )
-        return read_image(path, self.cfg.image.height, self.cfg.image.width)
+
+    def get_image(self, timestamp):
+        return read_image(
+            self.get_image_path(timestamp),
+            self.cfg.image.height,
+            self.cfg.image.width,
+        )
 
     def get_depth(self, timestamp):
         img_id = self.rgb_d_pose_pair[timestamp]["depth"]

@@ -141,13 +141,18 @@ class DFVO:
         self.global_poses[self.cur_data["id"]] = pose.copy()
 
     # ------------------------------------------------------------------
-    def run_frame(self, img_id):
-        """Process one frame; returns the tracking mode string."""
+    def run_frame(self, img_id, img=None):
+        """Process one frame; returns the tracking mode string.
+
+        ``img`` may be supplied by the async prefetcher; otherwise the
+        dataset loads it synchronously.
+        """
         self.cur_data["id"] = img_id
         self.cur_data["timestamp"] = self.dataset.get_timestamp(img_id)
 
         with self.timers.scope("data_loading", "DF-VO"):
-            img = self.dataset.get_image(self.cur_data["timestamp"])
+            if img is None:
+                img = self.dataset.get_image(self.cur_data["timestamp"])
             self.cur_data["img"] = img
             img_dev = jnp.asarray(img, jnp.uint8)
 
@@ -243,12 +248,30 @@ class DFVO:
         end = len(self.dataset)
         if num_frames is not None:
             end = min(end, start_frame + num_frames)
-        for img_id in tqdm(
-            range(start_frame, end, self.cfg.frame_step)
-        ):
+        frame_ids = list(range(start_frame, end, self.cfg.frame_step))
+
+        # async decode ahead of the tracker (native C++ pool when available)
+        prefetcher = None
+        if hasattr(self.dataset, "get_image_path"):
+            from ..utils.native_loader import make_prefetcher
+
+            paths = [
+                self.dataset.get_image_path(self.dataset.get_timestamp(i))
+                for i in frame_ids
+            ]
+            prefetcher = make_prefetcher(
+                paths, self.cfg.image.height, self.cfg.image.width
+            )
+
+        for img_id in tqdm(frame_ids):
             self.timers.start("DF-VO")
-            self.run_frame(img_id)
+            img = None
+            if prefetcher is not None:
+                _, img = prefetcher.next()
+            self.run_frame(img_id, img=img)
             self.timers.end("DF-VO")
+        if prefetcher is not None:
+            prefetcher.close()
         print("=> Finish!")
         self.save_results()
 
