@@ -1,0 +1,136 @@
+"""Batch ("scan") execution mode: the frame loop itself runs on device.
+
+The interactive pipeline (pipeline/dfvo.py) dispatches one fused step per
+frame — already orders of magnitude fewer host round trips than the
+reference, but each step still pays a dispatch + host sync. For maximum
+throughput (benchmarking, offline batch processing, multi-sequence slices)
+this runner uploads a CHUNK of frames and `lax.scan`s the VO step over
+them: T frames per device call, with the depth map and constant-motion
+state as the scan carry. Host work per chunk collapses to one upload and
+one [T x 4 x 4] pose download; relative-to-global pose chaining is a cheap
+host composition afterwards (SURVEY.md §2.12 "pipelined lax.scan over frame
+pairs").
+"""
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .frontend import DeepFrontend
+from .tracking import TrackingConfig, tracking_step
+
+
+class ScanRunner:
+    """Chunked on-device VO over a frame stream."""
+
+    def __init__(self, cfg, frontend=None):
+        self.cfg = cfg
+        self.frontend = frontend or DeepFrontend(cfg)
+        self.tcfg = TrackingConfig.from_cfg(cfg)
+        self.chunk = int(cfg.tpu.scan_chunk)
+        self._build()
+
+    def _build(self):
+        frontend = self.frontend
+        tcfg = self.tcfg
+
+        @functools.partial(jax.jit, donate_argnums=())
+        def chunk_step(variables, imgs_u8, carry, rngs, K, K_inv):
+            """imgs_u8: [T x H x W x 3]; carry = (img_ref_u8, depth_ref_raw,
+            prev_motion, prev_scale). Returns ([T x 4 x 4] relative poses,
+            [T] modes, new carry)."""
+
+            def body(carry, x):
+                img_ref_u8, depth_ref, prev_motion, prev_scale = carry
+                img_cur_u8, rng = x
+                img_cur = img_cur_u8.astype(jnp.float32) / 255.0
+                img_ref = img_ref_u8.astype(jnp.float32) / 255.0
+                fo = frontend.infer(variables, img_cur, img_ref)
+                tr = tracking_step(
+                    rng,
+                    fo["flow_fwd"],
+                    fo["flow_diff"],
+                    fo["depth_cur"],
+                    depth_ref,
+                    prev_motion,
+                    K,
+                    K_inv,
+                    tcfg,
+                    prev_scale=prev_scale,
+                )
+                new_scale = jnp.where(
+                    tr["scale"] > 0, tr["scale"], prev_scale
+                )
+                new_carry = (
+                    img_cur_u8,
+                    fo["depth_cur"],
+                    tr["pose"],
+                    new_scale,
+                )
+                return new_carry, (tr["pose"], tr["mode"])
+
+            new_carry, (poses, modes) = jax.lax.scan(
+                body, carry, (imgs_u8, rngs)
+            )
+            return poses, modes, new_carry
+
+        self._chunk_step = chunk_step
+
+        @jax.jit
+        def init_depth(variables, img_u8):
+            img = img_u8.astype(jnp.float32) / 255.0
+            out = frontend.depth_net.apply(variables["depth"], img[None])
+            return out["depth"][0]
+
+        self._init_depth = init_depth
+
+    def run(self, variables, frames, K, K_inv, rng_seed=0):
+        """Track a whole in-memory sequence.
+
+        Args:
+            variables: network variables.
+            frames: [N x H x W x 3] uint8 array (N >= 2).
+            K, K_inv: [3 x 3] numpy intrinsics.
+
+        Returns:
+            {frame: [4 x 4]} absolute poses (frame 0 = identity).
+        """
+        frames = np.asarray(frames)
+        n = len(frames)
+        Kj = jnp.asarray(K, jnp.float32)
+        Kij = jnp.asarray(K_inv, jnp.float32)
+
+        depth0 = self._init_depth(variables, jnp.asarray(frames[0]))
+        carry = (
+            jnp.asarray(frames[0]),
+            depth0,
+            jnp.eye(4, dtype=jnp.float32),
+            jnp.asarray(1.0, jnp.float32),
+        )
+
+        rel_poses = []
+        t = self.chunk
+        base = jax.random.PRNGKey(rng_seed)
+        for start in range(1, n, t):
+            chunk = frames[start : start + t]
+            pad = t - len(chunk)
+            if pad:  # static chunk shape; padded frames discarded below
+                chunk = np.concatenate([chunk, chunk[-1:].repeat(pad, 0)])
+            rngs = jax.vmap(
+                lambda i: jax.random.fold_in(base, i)
+            )(jnp.arange(start, start + t))
+            poses, modes, carry = self._chunk_step(
+                variables, jnp.asarray(chunk), carry, rngs, Kj, Kij
+            )
+            rel_poses.append(np.asarray(poses)[: t - pad if pad else t])
+
+        rel = np.concatenate(rel_poses, axis=0)
+        out = {0: np.eye(4)}
+        T = np.eye(4)
+        for i in range(len(rel)):
+            T = T @ rel[i].astype(np.float64)
+            out[i + 1] = T
+        return out
