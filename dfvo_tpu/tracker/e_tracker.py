@@ -24,8 +24,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ..geometry.ops import triangulate_depths
-from ..solvers.essential import find_essential_ransac, sampson_error
+from ..solvers.essential import find_essential_ransac, two_view_depths
 from ..solvers.gric import calc_gric, fundamental_residual, homography_residual
 from ..solvers.homography import find_homography_ransac
 from ..solvers.scale import scale_ransac_1d
@@ -156,14 +155,17 @@ def find_scale_from_depth(
     """
     h, w = depth_cur.shape
 
-    def norm(kp):
+    def norm_h(kp):
         ones = jnp.ones_like(kp[:, :1])
-        return (jnp.concatenate([kp, ones], axis=-1) @ K_inv.T)[:, :2]
+        return jnp.concatenate([kp, ones], axis=-1) @ K_inv.T
 
-    T_1w = jnp.eye(4, dtype=kp_ref.dtype)
-    _, _, z_cur = triangulate_depths(
-        norm(kp_ref), norm(kp_cur), T_1w, T_ref_to_cur
-    )
+    # closed-form two-view depths under (R, t) = T_ref_to_cur — equivalent
+    # to the reference's DLT triangulation (ops_3d.py:44-67) for depth
+    # extraction, but O(N) with no per-point eigendecomposition (batched
+    # 4x4 eigh was a hot spot on TPU)
+    R = T_ref_to_cur[:3, :3]
+    t = T_ref_to_cur[:3, 3]
+    _, z_cur = two_view_depths(R, t, norm_h(kp_ref), norm_h(kp_cur))
 
     # CNN depth at current-view keypoints (integer pixel, like the
     # reference's sparse-depth-map scatter/readback, ops_3d.py:15-41)
