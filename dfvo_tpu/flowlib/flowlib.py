@@ -136,6 +136,38 @@ def read_kitti_png_flow(filename):
     return flow, raw[..., 0].astype(bool)
 
 
+def flow_error(tu, tv, u, v, mask=None):
+    """Average endpoint error between ground-truth (tu, tv) and estimated
+    (u, v) flow fields, ignoring unknown-flow pixels
+    (ref flowlib.py:96-150)."""
+    valid = (np.abs(tu) < UNKNOWN_FLOW_THRESH) & (
+        np.abs(tv) < UNKNOWN_FLOW_THRESH
+    )
+    if mask is not None:
+        valid &= mask.astype(bool)
+    du = tu[valid] - u[valid]
+    dv = tv[valid] - v[valid]
+    epe = np.sqrt(du**2 + dv**2)
+    return float(np.mean(epe)) if epe.size else 0.0
+
+
+def flow_kitti_error(tu, tv, u, v, mask=None, tau=(3.0, 0.05)):
+    """KITTI flow outlier ratio (Fl): fraction of valid pixels whose
+    endpoint error exceeds tau[0] px AND tau[1] of the GT magnitude
+    (ref flowlib.py:542-581)."""
+    valid = (np.abs(tu) < UNKNOWN_FLOW_THRESH) & (
+        np.abs(tv) < UNKNOWN_FLOW_THRESH
+    )
+    if mask is not None:
+        valid &= mask.astype(bool)
+    du = tu[valid] - u[valid]
+    dv = tv[valid] - v[valid]
+    epe = np.sqrt(du**2 + dv**2)
+    mag = np.sqrt(tu[valid] ** 2 + tv[valid] ** 2) + 1e-5
+    outliers = (epe > tau[0]) & (epe / mag > tau[1])
+    return float(np.mean(outliers)) if epe.size else 0.0
+
+
 def resize_flow(flow, new_h, new_w):
     """Resize flow with magnitude rescaling (ref flowlib.py:492-511)."""
     import cv2

@@ -1,0 +1,98 @@
+"""Flow library IO/metrics and HD3 loss tests."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from dfvo_tpu.flowlib import (
+    flow_error,
+    flow_kitti_error,
+    flow_to_image,
+    read_flow,
+    read_kitti_png_flow,
+    write_flow,
+    write_kitti_png_flow,
+)
+
+
+class TestFlowIO:
+    def test_flo_roundtrip(self, tmp_path):
+        rng = np.random.RandomState(0)
+        flow = rng.randn(20, 30, 2).astype(np.float32) * 5
+        p = tmp_path / "test.flo"
+        write_flow(flow, str(p))
+        back = read_flow(str(p))
+        np.testing.assert_allclose(back, flow, atol=1e-6)
+
+    def test_kitti_png_roundtrip(self, tmp_path):
+        rng = np.random.RandomState(1)
+        flow = rng.randn(20, 30, 2).astype(np.float32) * 10
+        mask = rng.rand(20, 30) > 0.3
+        p = tmp_path / "flow.png"
+        write_kitti_png_flow(flow, str(p), mask)
+        back, back_mask = read_kitti_png_flow(str(p))
+        np.testing.assert_allclose(back, flow, atol=1 / 64 + 1e-6)
+        np.testing.assert_array_equal(back_mask, mask)
+
+    def test_flow_to_image(self):
+        rng = np.random.RandomState(2)
+        img = flow_to_image(rng.randn(16, 16, 2) * 3)
+        assert img.shape == (16, 16, 3) and img.dtype == np.uint8
+        # distinct directions get distinct colors
+        flow = np.zeros((2, 2, 2))
+        flow[0, 0] = [5, 0]
+        flow[1, 1] = [-5, 0]
+        img = flow_to_image(flow)
+        assert not np.array_equal(img[0, 0], img[1, 1])
+
+
+class TestFlowErrors:
+    def test_epe_and_fl(self):
+        rng = np.random.RandomState(3)
+        tu = rng.randn(50, 60) * 10
+        tv = rng.randn(50, 60) * 10
+        assert flow_error(tu, tv, tu, tv) == 0.0
+        u = tu + 1.0
+        assert abs(flow_error(tu, tv, u, tv) - 1.0) < 1e-6
+        # all-outlier case
+        assert flow_kitti_error(tu, tv, tu + 100, tv + 100) == 1.0
+        assert flow_kitti_error(tu, tv, tu, tv) == 0.0
+
+
+class TestHD3Loss:
+    def test_loss_finite_and_differentiable(self):
+        from dfvo_tpu.models.hd3_losses import end_point_error, hd3_loss
+
+        rng = np.random.RandomState(4)
+        corr_range = [4, 4]
+        ds = 3  # coarsest at 1/8
+        H, W = 32, 64
+        gt = jnp.asarray(rng.randn(1, H, W, 2).astype(np.float32) * 3)
+
+        def make_level(l):
+            h, w = H // 2 ** (ds - l), W // 2 ** (ds - l)
+            prob = jnp.asarray(
+                rng.randn(1, h, w, (2 * corr_range[l] + 1) ** 2).astype(
+                    np.float32
+                )
+            )
+            pred = jnp.asarray(
+                rng.randn(1, h, w, 2).astype(np.float32) * 2 ** (ds - l)
+            )
+            return prob, pred
+
+        probs, preds = zip(*[make_level(l) for l in range(2)])
+
+        def loss_fn(p0):
+            return hd3_loss(
+                [p0, probs[1]], list(preds), gt, corr_range, ds=ds
+            )
+
+        loss, grad = jax.value_and_grad(loss_fn)(probs[0])
+        assert np.isfinite(float(loss))
+        assert np.isfinite(np.asarray(grad)).all()
+        assert np.abs(np.asarray(grad)).max() > 0
+
+        epe = end_point_error(preds[-1], gt)
+        assert np.isfinite(float(epe))
