@@ -55,24 +55,27 @@ def main():
     Kij = jnp.asarray(np.linalg.inv(K).astype(np.float32))
 
     rng_np = np.random.RandomState(0)
-    n_frames = 4 * chunk
+    max_chunks = 12
     # stage all frames in HBM up front (one upload), as the async loader
     # pipeline does for real sequences
     frames_dev = jnp.asarray(
-        rng_np.randint(0, 255, (n_frames + 1, h, w, 3), dtype=np.uint8)
+        rng_np.randint(
+            0, 255, (max_chunks * chunk + 1, h, w, 3), dtype=np.uint8
+        )
     )
     depth0 = runner._init_depth(variables, frames_dev[0])
     base = jax.random.PRNGKey(0)
 
-    def run_chunks():
+    def run_chunks(n_chunks):
         carry = (
             frames_dev[0],
             depth0,
             jnp.eye(4, dtype=jnp.float32),
             jnp.asarray(1.0, jnp.float32),
         )
-        all_poses = []
-        for start in range(1, n_frames + 1, chunk):
+        poses = None
+        for c in range(n_chunks):
+            start = 1 + c * chunk
             imgs = jax.lax.dynamic_slice_in_dim(frames_dev, start, chunk, 0)
             rngs = jax.vmap(lambda i: jax.random.fold_in(base, i))(
                 jnp.arange(start, start + chunk)
@@ -80,18 +83,25 @@ def main():
             poses, modes, carry = runner._chunk_step(
                 variables, imgs, carry, rngs, Kj, Kij
             )
-            all_poses.append(poses)
-        return all_poses[-1]
+        # scalar fetch = the only reliable device sync in this environment
+        # (block_until_ready returns early through the relay); the last
+        # chunk's poses depend on every prior chunk via the carry
+        return float(jnp.sum(poses))
 
-    # warmup / compile
-    out = run_chunks()
-    jax.block_until_ready(out)
+    # warmup: compile + pay the relay's first-fetch handshake
+    run_chunks(1)
+    run_chunks(max_chunks)
 
-    t0 = time.perf_counter()
-    out = run_chunks()
-    jax.block_until_ready(out)
-    elapsed = time.perf_counter() - t0
-    fps = n_frames / elapsed
+    def timed(n_chunks):
+        t0 = time.perf_counter()
+        run_chunks(n_chunks)
+        return time.perf_counter() - t0
+
+    # delta-workload timing cancels fixed dispatch/sync overhead
+    k1, k2 = 2, max_chunks
+    t1 = min(timed(k1) for _ in range(3))
+    t2 = min(timed(k2) for _ in range(3))
+    fps = (k2 - k1) * chunk / max(t2 - t1, 1e-9)
 
     print(
         json.dumps(

@@ -23,6 +23,8 @@ from ..utils.timer import Timer
 from .frontend import DeepFrontend
 from .tracking import TrackingConfig, tracking_step
 
+_MODE_NAMES = {0: "Const.", 1: "Ess. Mat.", 2: "PnP", 3: "DeepPose"}
+
 
 class DFVO:
     def __init__(self, cfg):
@@ -189,12 +191,13 @@ class DFVO:
                     jnp.asarray(self.prev_scale, jnp.float32),
                 )
             pose_rel = SE3(np.asarray(out["pose"], np.float64))
-            mode = {0: "Const.", 1: "Ess. Mat.", 2: "PnP", 3: "DeepPose"}[
-                int(out["mode"])
-            ]
-            scale_out = float(out["scale"])
-            if scale_out > 0:
-                self.prev_scale = scale_out
+            # keep the scale carry on device; fetch the mode scalar only
+            # when someone displays it (host round trips are expensive on
+            # tunneled dev setups)
+            self.prev_scale = jnp.where(
+                out["scale"] > 0, out["scale"], self.prev_scale
+            )
+            mode = _MODE_NAMES[int(out["mode"])] if self.drawer else "n/a"
             self.cur_data["pose"] = self.global_poses[
                 self.ref_data["id"]
             ].copy()
