@@ -47,7 +47,9 @@ def main():
     chunk = int(cfg.tpu.scan_chunk)
 
     runner = ScanRunner(cfg)
-    variables = runner.frontend.init_variables(jax.random.PRNGKey(0))
+    variables = runner.frontend.prepare_variables(
+        runner.frontend.init_variables(jax.random.PRNGKey(0))
+    )
     K = np.array(
         [[0.58 * w, 0, 0.5 * w], [0, 1.92 * h, 0.5 * h], [0, 0, 1]], np.float32
     )

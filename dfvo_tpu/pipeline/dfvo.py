@@ -45,6 +45,9 @@ class DFVO:
         self.frontend = DeepFrontend(self.cfg)
         rng = jax.random.PRNGKey(self.cfg.seed)
         self.variables = self.frontend.load_variables(rng)
+        # inference copy in the configured compute dtype (float32 masters
+        # are kept for finetuning)
+        self.infer_variables = self.frontend.prepare_variables(self.variables)
 
         K = self.dataset.cam_intrinsics
         self.K = jnp.asarray(K.mat, jnp.float32)
@@ -170,7 +173,7 @@ class DFVO:
             self.ref_data["motion"] = SE3()
             with self.timers.scope("depth_cnn", "DF-VO"):
                 self.cur_data["raw_depth_dev"] = self._depth_only(
-                    self.variables, img_dev
+                    self.infer_variables, img_dev
                 )
         else:
             with self.timers.scope("vo_step", "DF-VO"):
@@ -178,7 +181,7 @@ class DFVO:
                     jax.random.PRNGKey(self.cfg.seed), img_id
                 )
                 out = self._full_step(
-                    self.variables,
+                    self.infer_variables,
                     img_dev,
                     self.ref_data["img_dev"],
                     self.ref_data["raw_depth_dev"],
@@ -226,6 +229,9 @@ class DFVO:
                         img_ref_f,
                         img_cur_f,
                         jnp.asarray(pose_rel.pose, jnp.float32),
+                    )
+                    self.infer_variables = self.frontend.prepare_variables(
+                        self.variables
                     )
                 self.finetune_cnt += 1
 

@@ -69,6 +69,14 @@ class DeepFrontend:
         self.cfg = cfg
         self.h = cfg.image.height
         self.w = cfg.image.width
+        # network compute dtype (geometry always runs float32; network
+        # outputs are cast back at the boundary)
+        tpu_cfg = cfg.get("tpu", {})
+        self.dtype = (
+            jnp.bfloat16
+            if str(tpu_cfg.get("dtype", "float32")) == "bfloat16"
+            else jnp.float32
+        )
         dataset = cfg.dataset
         if "kitti" in dataset or "robotcar" in dataset:
             depth_kw = dict(min_depth=0.1, max_depth=100.0, baseline_multiplier=5.4)
@@ -165,6 +173,19 @@ class DeepFrontend:
                 print(f"==> Initialize Pose-CNN with [{pose_dir}]")
         return variables
 
+    def prepare_variables(self, variables):
+        """Cast network variables to the inference dtype (call once after
+        loading/finetuning; avoids re-converting ~25M weights per frame)."""
+        if self.dtype == jnp.float32:
+            return variables
+
+        def cast(x):
+            if hasattr(x, "dtype") and x.dtype == jnp.float32:
+                return x.astype(self.dtype)
+            return x
+
+        return jax.tree.map(cast, variables)
+
     # -- fused inference ----------------------------------------------------
     def infer(self, variables, img_cur, img_ref):
         """Depth of the current view + bidirectional flow ref<->cur.
@@ -178,11 +199,11 @@ class DeepFrontend:
             ``flow_fwd`` [H x W x 2] (ref -> cur, full-res pixels),
             ``flow_bwd`` [H x W x 2], ``flow_diff`` [H x W].
         """
-        img_cur = img_cur[None]
-        img_ref = img_ref[None]
+        img_cur = img_cur[None].astype(self.dtype)
+        img_ref = img_ref[None].astype(self.dtype)
 
         depth_out = self.depth_net.apply(variables["depth"], img_cur)
-        depth_cur = depth_out["depth"][0]
+        depth_cur = depth_out["depth"][0].astype(jnp.float32)
 
         # batched forward+backward like the reference (lite_flow.py:108-113)
         img1 = jnp.concatenate([img_ref, img_cur], axis=0)
@@ -200,7 +221,10 @@ class DeepFrontend:
             # HD3: final-level vector x 1/2^(7-levels) (hd3_flow.py:139-141)
             _, ms_vect = self.flow_net.apply(variables["flow"], img1f, img2f)
             flow_feed_res = ms_vect[-1] * (1.0 / 2 ** (7 - 5))
-        flow_full = resize_dense_flow(flow_feed_res, self.h, self.w)
+        # geometry runs float32 from here on
+        flow_full = resize_dense_flow(
+            flow_feed_res.astype(jnp.float32), self.h, self.w
+        )
         flow_fwd = flow_full[0:1]
         flow_bwd = flow_full[1:2]
         flow_diff = forward_backward_consistency(flow_fwd, flow_bwd)
@@ -213,5 +237,7 @@ class DeepFrontend:
         }
         if self.use_pose_net:
             pair = jnp.concatenate([img_ref, img_cur], axis=-1)
-            out["deep_pose"] = self.pose_net.apply(variables["pose"], pair)[0]
+            out["deep_pose"] = self.pose_net.apply(variables["pose"], pair)[
+                0
+            ].astype(jnp.float32)
         return out

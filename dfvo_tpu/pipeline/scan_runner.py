@@ -100,6 +100,7 @@ class ScanRunner:
         """
         frames = np.asarray(frames)
         n = len(frames)
+        variables = self.frontend.prepare_variables(variables)
         Kj = jnp.asarray(K, jnp.float32)
         Kij = jnp.asarray(K_inv, jnp.float32)
 

@@ -226,7 +226,9 @@ def _gn_polish_pose(R0, t0, x1, x2, weights, iters=5):
     return jax.lax.fori_loop(0, iters, body, (R0, t0))
 
 
-@partial(jax.jit, static_argnames=("num_hypotheses", "num_starts"))
+@partial(
+    jax.jit, static_argnames=("num_hypotheses", "num_starts", "vote_slices")
+)
 @highp
 def find_essential_ransac(
     rng,
@@ -238,6 +240,7 @@ def find_essential_ransac(
     threshold=0.2,
     num_hypotheses=256,
     num_starts=8,
+    vote_slices=1,
 ):
     """Batched RANSAC essential-matrix estimation with pose recovery.
 
@@ -260,10 +263,16 @@ def find_essential_ransac(
             (reference e_tracker.ransac.reproj_thre = 0.2).
         num_hypotheses: number of 8-point samples (static).
         num_starts: hypotheses kept for local optimization (static).
+        vote_slices: additionally return the best *unpolished* model of each
+            of ``vote_slices`` disjoint hypothesis subsets as ``slice_Es``
+            [S x 3 x 3] — the tracker's repeat-RANSAC validity votes
+            (E_tracker.py:223-287) read these instead of re-running the
+            whole RANSAC per repeat (static).
 
     Returns:
         dict with ``E`` [3x3], ``R`` [3x3], ``t`` [3] (x2 ~ R x1 + t, unit
-        ‖t‖), ``inliers`` [N] bool, ``inlier_cnt``, ``cheirality_cnt``.
+        ‖t‖), ``inliers`` [N] bool, ``inlier_cnt``, ``cheirality_cnt``,
+        ``slice_Es`` [vote_slices x 3 x 3].
     """
     x1 = _normalize(kp1, K_inv)
     x2 = _normalize(kp2, K_inv)
@@ -314,6 +323,12 @@ def find_essential_ransac(
     R, t, inl = Rs[j], ts[j], inls[j]
     E = skew(t) @ R
     cheir = cheirality_count(R, t, x1, x2, valid_mask)
+
+    # per-slice unpolished bests for the tracker's validity votes
+    slice_counts = counts.reshape(vote_slices, -1)
+    slice_best = jnp.argmax(slice_counts, axis=1) + jnp.arange(
+        vote_slices
+    ) * (num_hypotheses // vote_slices)
     return {
         "E": E,
         "R": R,
@@ -321,4 +336,5 @@ def find_essential_ransac(
         "inliers": inl,
         "inlier_cnt": cnts[j],
         "cheirality_cnt": cheir,
+        "slice_Es": Es[slice_best],
     }

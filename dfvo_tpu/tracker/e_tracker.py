@@ -49,7 +49,14 @@ def compute_pose_2d2d(
 ):
     """Pose (cur → ref) from 2D-2D correspondences with model selection.
 
-    Mirrors EssTracker.compute_pose_2d2d (E_tracker.py:154-307).
+    Mirrors EssTracker.compute_pose_2d2d (E_tracker.py:154-307), with the
+    repeat structure flattened for TPU efficiency: the ``repeats``
+    independent RANSAC runs share one hypothesis pool of
+    ``repeats x num_hypotheses`` samples; each repeat's validity vote reads
+    the best unpolished model of its own disjoint slice (equivalent
+    protocol — the reference votes on per-repeat cv2 results — but the
+    expensive multi-start local optimization runs once instead of per
+    repeat).
 
     Args:
         rng: PRNG key.
@@ -77,22 +84,26 @@ def compute_pose_2d2d(
         h_res = homography_residual(h_out["H"], kp_cur, kp_ref, mask=valid_mask)
         h_gric = calc_gric(h_res, 0.8, nf, "HMat", mask=valid_mask)
 
-    keys = jax.random.split(rng, repeats)
-    e_outs = jax.vmap(
-        lambda k: find_essential_ransac(
-            k, kp_cur, kp_ref, K, K_inv, valid_mask,
-            threshold=reproj_thre, num_hypotheses=num_hypotheses,
-        )
-    )(keys)
+    e_out = find_essential_ransac(
+        rng,
+        kp_cur,
+        kp_ref,
+        K,
+        K_inv,
+        valid_mask,
+        threshold=reproj_thre,
+        num_hypotheses=repeats * num_hypotheses,
+        vote_slices=repeats,
+    )
 
-    # validity vote per repeat
+    # validity vote per repeat slice
     if validity_method == "GRIC":
         def e_gric_one(E):
             F = K_inv.T @ E @ K_inv
             e_res = fundamental_residual(F, kp_cur, kp_ref, mask=valid_mask)
             return calc_gric(e_res, 0.8, nf, "EMat", mask=valid_mask)
 
-        e_grics = jax.vmap(e_gric_one)(e_outs["E"])
+        e_grics = jax.vmap(e_gric_one)(e_out["slice_Es"])
         votes = h_gric > e_grics
         # the reference skips GRIC entirely for <=10 kps (E_tracker.py:196)
         votes = votes & (n_valid > 10)
@@ -104,19 +115,18 @@ def compute_pose_2d2d(
     else:
         votes = jnp.ones((repeats,), bool)
 
-    best = jnp.argmax(e_outs["inlier_cnt"])
     major_valid = jnp.sum(votes) > repeats / 2
-    cheirality_ok = e_outs["cheirality_cnt"][best] > n_valid * 0.1
+    cheirality_ok = e_out["cheirality_cnt"] > n_valid * 0.1
     accept = major_valid & cheirality_ok
 
     eye = jnp.eye(3, dtype=kp_cur.dtype)
     zero_t = jnp.zeros(3, dtype=kp_cur.dtype)
     return {
-        "R": jnp.where(accept, e_outs["R"][best], eye),
-        "t": jnp.where(accept, e_outs["t"][best], zero_t),
+        "R": jnp.where(accept, e_out["R"], eye),
+        "t": jnp.where(accept, e_out["t"], zero_t),
         "valid": accept,
-        "inliers": e_outs["inliers"][best],
-        "inlier_cnt": e_outs["inlier_cnt"][best],
+        "inliers": e_out["inliers"],
+        "inlier_cnt": e_out["inlier_cnt"],
     }
 
 
