@@ -52,8 +52,9 @@ class MultiSeqRunner:
 
         Returns a jitted fn(variables, img_cur_u8 [S x H x W x 3],
         img_ref_u8 [S], depth_ref [S x H x W], prev_motion [S x 4 x 4],
-        rngs [S x 2], K [3x3], K_inv) -> (poses [S x 4 x 4], modes [S],
-        depth_cur [S x H x W]) with S sequences sharded over the mesh.
+        rngs [S x 2], K [S x 3 x 3], K_inv [S x 3 x 3]) ->
+        (poses [S x 4 x 4], modes [S], depth_cur [S x H x W]) with S
+        sequences (and their per-sequence intrinsics) sharded over the mesh.
         """
         frontend = self.frontend
         tcfg = self.tcfg
@@ -70,7 +71,7 @@ class MultiSeqRunner:
 
         def local_batch(variables, img_cur, img_ref, depth_ref, prev, rngs, K, K_inv):
             return jax.vmap(
-                one, in_axes=(None, 0, 0, 0, 0, 0, None, None)
+                one, in_axes=(None, 0, 0, 0, 0, 0, 0, 0)
             )(variables, img_cur, img_ref, depth_ref, prev, rngs, K, K_inv)
 
         sharded = jax.shard_map(
@@ -83,8 +84,8 @@ class MultiSeqRunner:
                 P(self.axis_name),
                 P(self.axis_name),
                 P(self.axis_name),
-                P(),
-                P(),
+                P(self.axis_name),  # per-sequence intrinsics
+                P(self.axis_name),
             ),
             out_specs=(P(self.axis_name), P(self.axis_name), P(self.axis_name)),
             check_vma=False,

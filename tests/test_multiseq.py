@@ -40,8 +40,10 @@ def _batch(runner, S):
         "depth_ref": jnp.asarray(rng.uniform(1, 40, (S, h, w)), jnp.float32),
         "prev": jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (S, 4, 4)),
         "rngs": jax.vmap(jax.random.PRNGKey)(jnp.arange(S, dtype=jnp.uint32)),
-        "K": jnp.asarray(K),
-        "K_inv": jnp.asarray(np.linalg.inv(K).astype(np.float32)),
+        "K": jnp.broadcast_to(jnp.asarray(K), (S, 3, 3)),
+        "K_inv": jnp.broadcast_to(
+            jnp.asarray(np.linalg.inv(K).astype(np.float32)), (S, 3, 3)
+        ),
     }
 
 
