@@ -77,6 +77,18 @@ def resize_bilinear(x, out_h, out_w, align_corners=False):
     n, h, w, c = x.shape
     from ..ops.warp import grid_sample
 
+    if (h, w) == (out_h, out_w):
+        return x
+    if (
+        not align_corners
+        and h == 2 * out_h
+        and w == 2 * out_w
+    ):
+        # exact-2x bilinear downsample with half-pixel centers == 2x2 mean
+        # pool; avoids a full gather (gathers are the slow path on TPU)
+        return (
+            x.reshape(n, out_h, 2, out_w, 2, c).mean(axis=(2, 4))
+        )
     if align_corners and out_h > 1 and out_w > 1:
         # sample positions map corner-to-corner
         ys = jnp.linspace(0.0, h - 1.0, out_h)

@@ -68,9 +68,29 @@ class FrameDrawer:
             )
 
         img = vo.cur_data["img"]
-        h2 = self.img.shape[0] // 3
-        w2 = self.img.shape[1] - self.traj_w
         tiles = []
+
+        # keypoint matches on the current image (temporal arrows,
+        # ref frame_drawer.py:328-359); inliers green, outliers red when
+        # inlier_plot is enabled
+        vis = cv2.cvtColor(img, cv2.COLOR_RGB2BGR).copy()
+        kp_ref = np.asarray(out["kp_ref"])
+        kp_cur = np.asarray(out["kp_cur"])
+        valid = np.asarray(out["kp_valid"])
+        inliers = np.asarray(out.get("inliers", valid))
+        n_vis = int(self.vis_cfg.kp_match.kp_num)
+        idx = np.where(valid)[0][:n_vis]
+        inlier_plot = bool(self.vis_cfg.kp_match.vis_side.inlier_plot)
+        for i in idx:
+            p1 = tuple(np.round(kp_ref[i]).astype(int))
+            p2 = tuple(np.round(kp_cur[i]).astype(int))
+            color = (
+                ((0, 255, 0) if inliers[i] else (0, 0, 255))
+                if inlier_plot
+                else (0, 255, 0)
+            )
+            cv2.line(vis, p1, p2, color, 1)
+        tiles.append(vis)
 
         # depth (magma-ish inverse depth; ref frame_drawer.py:410-444)
         depth = np.asarray(out["depth_cur"])
@@ -83,7 +103,7 @@ class FrameDrawer:
         tiles.append(cv2.applyColorMap(disp_vis, cv2.COLORMAP_MAGMA))
 
         # forward flow (middlebury colors)
-        if self.vis_cfg.flow.vis_forward_flow:
+        if self.vis_cfg.flow.vis_forward_flow and "flow_fwd" in out:
             tiles.append(
                 cv2.cvtColor(
                     flow_to_image(np.asarray(out["flow_fwd"])),
@@ -91,25 +111,21 @@ class FrameDrawer:
                 )
             )
 
-        # keypoint matches on the current image (temporal arrows,
-        # ref frame_drawer.py:328-359)
-        vis = cv2.cvtColor(img, cv2.COLOR_RGB2BGR).copy()
-        kp_ref = np.asarray(out["kp_ref"])
-        kp_cur = np.asarray(out["kp_cur"])
-        valid = np.asarray(out["kp_valid"])
-        n_vis = int(self.vis_cfg.kp_match.kp_num)
-        idx = np.where(valid)[0][:n_vis]
-        for i in idx:
-            p1 = tuple(np.round(kp_ref[i]).astype(int))
-            p2 = tuple(np.round(kp_cur[i]).astype(int))
-            cv2.line(vis, p1, p2, (0, 255, 0), 1)
-        tiles.append(vis)
+        # forward-backward flow inconsistency (ref frame_drawer.py:461-512)
+        if self.vis_cfg.flow.vis_flow_diff and "flow_diff" in out:
+            fd = np.asarray(out["flow_diff"])
+            fd_vis = np.clip(fd / 0.5 * 255, 0, 255).astype(np.uint8)
+            tiles.append(cv2.applyColorMap(fd_vis, cv2.COLORMAP_JET))
 
         # compose: left = traj, right = stacked tiles
+        n_tiles = max(len(tiles), 1)
+        h2 = self.img.shape[0] // n_tiles
+        w2 = self.img.shape[1] - self.traj_w
+        self.img[:] = 0
         self.img[:, : self.traj_w] = cv2.resize(
             self.traj, (self.traj_w, self.img.shape[0])
         )
-        for i, tile in enumerate(tiles[:3]):
+        for i, tile in enumerate(tiles):
             y0 = i * h2
             self.img[y0 : y0 + h2, self.traj_w :] = cv2.resize(tile, (w2, h2))
 

@@ -71,20 +71,20 @@ def compute_pose_3d2d(
 
     XYZ = unproject_kp(kp_ref, kp_depth, K_inv)
 
-    keys = jax.random.split(rng, repeats)
-    outs = jax.vmap(
-        lambda k: solve_pnp_ransac(
-            k, XYZ, kp_cur, K, K_inv, mask,
-            reproj_threshold=reproj_thre, num_hypotheses=num_hypotheses,
-        )
-    )(keys)
-    best = jnp.argmax(outs["inlier_cnt"])
-    R = outs["R"][best]
-    t = outs["t"][best]
-    ok = outs["ok"][best] & (jnp.sum(mask) > 4)
+    # the reference's repeated RANSAC keeps the max-inlier result across
+    # repeats (pnp_tracker.py:89-110) — with a batched solver that is
+    # exactly one run over the pooled hypothesis budget
+    out = solve_pnp_ransac(
+        rng, XYZ, kp_cur, K, K_inv, mask,
+        reproj_threshold=reproj_thre,
+        num_hypotheses=repeats * num_hypotheses,
+    )
+    R = out["R"]
+    t = out["t"]
+    ok = out["ok"] & (jnp.sum(mask) > 4)
 
     # (R, t) map ref-frame points into the cur camera; the tracker reports
     # cur → ref, so invert (ref pnp_tracker.py:118)
     T = se3_inverse(make_se3(R, t))
     T = jnp.where(ok, T, jnp.eye(4, dtype=T.dtype))
-    return {"T": T, "ok": ok, "inliers": outs["inliers"][best], "mask": mask}
+    return {"T": T, "ok": ok, "inliers": out["inliers"], "mask": mask}
