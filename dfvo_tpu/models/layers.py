@@ -66,38 +66,50 @@ def upsample2x_nearest(x):
     return x.reshape(n, h * 2, w * 2, c)
 
 
+import functools
+
+import numpy as np
+
+
+@functools.lru_cache(maxsize=None)
+def _interp_matrix(src, dst, align_corners):
+    """[dst x src] 1-D bilinear interpolation matrix (NUMPY — cached;
+    a cached jnp constant would leak tracers, see matching/kp_selection)."""
+    if align_corners and dst > 1:
+        pos = np.linspace(0.0, src - 1.0, dst)
+    else:
+        pos = (np.arange(dst) + 0.5) * (src / dst) - 0.5
+        pos = np.clip(pos, 0.0, src - 1.0)  # border clamp (torch semantics)
+    i0 = np.clip(np.floor(pos).astype(int), 0, src - 1)
+    i1 = np.minimum(i0 + 1, src - 1)
+    w1 = pos - i0
+    M = np.zeros((dst, src), np.float32)
+    M[np.arange(dst), i0] += 1.0 - w1
+    M[np.arange(dst), i1] += w1
+    return M
+
+
 def resize_bilinear(x, out_h, out_w, align_corners=False):
     """Bilinear resize for NHWC tensors.
 
     ``align_corners=True`` matches torch's F.interpolate(align_corners=True)
     used for flow/image resizing in the reference (deep_flow.py:122-124,
     lite_flow.py:73-75); False matches the torch default used for disparity
-    upsampling (monodepth2.py:112-113).
+    upsampling (monodepth2.py:112-113). No antialiasing on downsampling
+    (torch semantics; jax.image.resize would filter and diverge).
+
+    Implemented as two separable matmuls with constant interpolation
+    matrices — exact, and runs on the MXU instead of the gather unit
+    (gather-based resizing measured ~10x slower on TPU).
     """
     n, h, w, c = x.shape
-    from ..ops.warp import grid_sample
-
     if (h, w) == (out_h, out_w):
         return x
-    if (
-        not align_corners
-        and h == 2 * out_h
-        and w == 2 * out_w
-    ):
-        # exact-2x bilinear downsample with half-pixel centers == 2x2 mean
-        # pool; avoids a full gather (gathers are the slow path on TPU)
-        return (
-            x.reshape(n, out_h, 2, out_w, 2, c).mean(axis=(2, 4))
-        )
-    if align_corners and out_h > 1 and out_w > 1:
-        # sample positions map corner-to-corner
-        ys = jnp.linspace(0.0, h - 1.0, out_h)
-        xs = jnp.linspace(0.0, w - 1.0, out_w)
-    else:
-        # half-pixel-center mapping WITHOUT antialiasing (torch semantics;
-        # jax.image.resize would apply a downsampling filter and diverge)
-        ys = (jnp.arange(out_h) + 0.5) * (h / out_h) - 0.5
-        xs = (jnp.arange(out_w) + 0.5) * (w / out_w) - 0.5
-    coords = jnp.stack(jnp.meshgrid(xs, ys), axis=-1)  # [H', W', 2]
-    coords = jnp.broadcast_to(coords, (n, out_h, out_w, 2))
-    return grid_sample(x, coords, padding_mode="border")
+    if not align_corners and h == 2 * out_h and w == 2 * out_w:
+        # exact-2x half-pixel downsample == 2x2 mean pool (cheaper still)
+        return x.reshape(n, out_h, 2, out_w, 2, c).mean(axis=(2, 4))
+    dtype = x.dtype
+    Mr = jnp.asarray(_interp_matrix(h, out_h, align_corners), dtype)
+    Mc = jnp.asarray(_interp_matrix(w, out_w, align_corners), dtype)
+    y = jnp.einsum("hH,nHwc->nhwc", Mr, x)
+    return jnp.einsum("wW,nhWc->nhwc", Mc, y)

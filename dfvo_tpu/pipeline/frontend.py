@@ -222,12 +222,31 @@ class DeepFrontend:
             _, ms_vect = self.flow_net.apply(variables["flow"], img1f, img2f)
             flow_feed_res = ms_vect[-1] * (1.0 / 2 ** (7 - 5))
         # geometry runs float32 from here on
-        flow_full = resize_dense_flow(
-            flow_feed_res.astype(jnp.float32), self.h, self.w
-        )
+        flow_feed_res = flow_feed_res.astype(jnp.float32)
+        flow_full = resize_dense_flow(flow_feed_res, self.h, self.w)
         flow_fwd = flow_full[0:1]
         flow_bwd = flow_full[1:2]
-        flow_diff = forward_backward_consistency(flow_fwd, flow_bwd)
+
+        # forward-backward consistency at the flow's NATIVE resolution, then
+        # bilinear-upsample the 1-channel map: the flow field has no
+        # information between native samples, and the full-resolution
+        # data-dependent warp was the single most expensive op in the
+        # pipeline (gathers; ~12 ms at 192x640 on v5e)
+        hn, wn = flow_feed_res.shape[1], flow_feed_res.shape[2]
+        f_fwd_n = flow_feed_res[0:1]
+        f_bwd_n = flow_feed_res[1:2]
+        warp = grid_sample(
+            -f_bwd_n, flow_to_coords(f_fwd_n), padding_mode="zeros"
+        )
+        unit_scale = jnp.array(
+            [self.w / wn, self.h / hn], jnp.float32
+        )  # native -> full-res pixel units
+        diff_n = jnp.linalg.norm(
+            (f_fwd_n - warp) * unit_scale, axis=-1, keepdims=True
+        )
+        flow_diff = resize_bilinear(
+            diff_n, self.h, self.w, align_corners=True
+        )[..., 0]
 
         out = {
             "depth_cur": depth_cur,
