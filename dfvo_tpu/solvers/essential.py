@@ -46,7 +46,7 @@ def _project_to_essential(E):
 
 
 @highp
-def essential_from_sample(x1, x2, weights=None):
+def essential_from_sample(x1, x2, weights=None, project=True, iters=10):
     """DLT estimate of E from normalized correspondences.
 
     Builds the epipolar design matrix (rows kron(x2, x1) so that
@@ -58,6 +58,13 @@ def essential_from_sample(x1, x2, weights=None):
     Args:
         x1, x2: [N x 3] homogeneous normalized coords.
         weights: optional [N] weights (0/1 mask for inlier refits).
+        project: project onto the essential manifold (3x3 SVD). Minimal
+            8-point hypotheses skip this — an exact-inlier sample's
+            nullspace already IS essential, a contaminated sample is garbage
+            either way, and 1000+ batched tiny SVDs per frame were a
+            measured hot spot; only the (few) locally-optimized refits
+            project (static).
+        iters: inverse-iteration steps for the nullspace (static).
 
     Returns:
         [3 x 3] essential matrix (defined up to scale).
@@ -67,8 +74,10 @@ def essential_from_sample(x1, x2, weights=None):
     A = jnp.einsum("ni,nj->nij", x2, x1).reshape(-1, 9)
     if weights is not None:
         A = A * weights[:, None]
-    E = nullspace_vector(A).reshape(3, 3)
-    return _project_to_essential(E)
+    E = nullspace_vector(A, iters=iters).reshape(3, 3)
+    if project:
+        return _project_to_essential(E)
+    return E
 
 
 @highp
@@ -285,7 +294,9 @@ def find_essential_ransac(
         return (sampson_error(F, p1, p2) < thr2) & valid_mask
 
     idx = sample_indices(rng, valid_mask, num_hypotheses, 8)
-    Es = jax.vmap(lambda i: essential_from_sample(x1[i], x2[i]))(idx)
+    Es = jax.vmap(
+        lambda i: essential_from_sample(x1[i], x2[i], project=False, iters=6)
+    )(idx)
     inliers = jax.vmap(score)(Es)
     counts = jnp.sum(inliers, axis=1)
     _, top = jax.lax.top_k(counts, num_starts)
