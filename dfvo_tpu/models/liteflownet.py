@@ -219,10 +219,17 @@ class LiteFlowNet(nn.Module):
     use_pallas: Any = None
 
     @nn.compact
-    def __call__(self, img1, img2) -> Dict[int, Any]:
+    def __call__(self, img1, img2, shared_pair=False) -> Dict[int, Any]:
+        """``shared_pair=True`` asserts img2 == img1 with the batch axis
+        reversed (the forward+backward inference pattern,
+        lite_flow.py:108-113) and computes the feature pyramid once instead
+        of twice."""
         features = _Features(name="features")  # shared for both views
         feats1: List = features(img1)
-        feats2: List = features(img2)
+        if shared_pair:
+            feats2 = [f[::-1] for f in feats1]
+        else:
+            feats2 = features(img2)
 
         # image pyramid at feature resolutions (levels 2..6)
         imgs1 = {1: img1}
@@ -230,7 +237,11 @@ class LiteFlowNet(nn.Module):
         for lvl in range(2, 7):
             h, w = feats1[lvl - 1].shape[1], feats1[lvl - 1].shape[2]
             imgs1[lvl] = resize_bilinear(imgs1[lvl - 1], h, w)
-            imgs2[lvl] = resize_bilinear(imgs2[lvl - 1], h, w)
+            imgs2[lvl] = (
+                imgs1[lvl][::-1]
+                if shared_pair
+                else resize_bilinear(imgs2[lvl - 1], h, w)
+            )
 
         flow = None
         flows = {}

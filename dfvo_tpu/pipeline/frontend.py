@@ -215,7 +215,10 @@ class DeepFrontend:
         else:
             img1f, img2f = img1, img2
         if self.flow_kind == "liteflow":
-            flows = self.flow_net.apply(variables["flow"], img1f, img2f)
+            # img2f is img1f with the batch flipped: share the feature pass
+            flows = self.flow_net.apply(
+                variables["flow"], img1f, img2f, shared_pair=True
+            )
             flow_feed_res = flows[1]
         else:
             # HD3: final-level vector x 1/2^(7-levels) (hd3_flow.py:139-141)

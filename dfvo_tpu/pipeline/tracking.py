@@ -88,6 +88,7 @@ class TrackingConfig:
     # pnp
     pnp_reproj_thre: float = 1.0
     pnp_repeat: int = 5
+    pnp_iter: int = 100  # hypotheses per repeat (ref ransac.iter)
     pnp_iterative_kp: bool = False
     pnp_iter_score_method: str = "rigid_flow"
     # ransac batching
@@ -142,6 +143,7 @@ class TrackingConfig:
             scale_iter_score_method=cfg.scale_recovery.iterative_kp.score_method,
             pnp_reproj_thre=cfg.pnp_tracker.ransac.reproj_thre,
             pnp_repeat=cfg.pnp_tracker.ransac.repeat,
+            pnp_iter=cfg.pnp_tracker.ransac.iter,
             pnp_iterative_kp=bool(cfg.pnp_tracker.iterative_kp.enable),
             pnp_iter_score_method=cfg.pnp_tracker.iterative_kp.score_method,
             num_hypotheses=cfg.tpu.ransac_hypotheses,
@@ -405,7 +407,7 @@ def tracking_step(
             max_depth=tcfg.max_depth,
             reproj_thre=tcfg.pnp_reproj_thre,
             repeats=3 if tcfg.pnp_iterative_kp else tcfg.pnp_repeat,
-            num_hypotheses=tcfg.num_hypotheses,
+            num_hypotheses=tcfg.pnp_iter,
         )
         if tcfg.pnp_iterative_kp:
             rkp = _rigid_flow_kp(
@@ -425,7 +427,7 @@ def tracking_step(
                 max_depth=tcfg.max_depth,
                 reproj_thre=tcfg.pnp_reproj_thre,
                 repeats=tcfg.pnp_repeat,
-                num_hypotheses=tcfg.num_hypotheses,
+                num_hypotheses=tcfg.pnp_iter,
             )
             use2 = out2["ok"]
             out = {
