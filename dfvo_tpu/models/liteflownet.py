@@ -219,29 +219,57 @@ class LiteFlowNet(nn.Module):
     use_pallas: Any = None
 
     @nn.compact
-    def __call__(self, img1, img2, shared_pair=False) -> Dict[int, Any]:
-        """``shared_pair=True`` asserts img2 == img1 with the batch axis
-        reversed (the forward+backward inference pattern,
-        lite_flow.py:108-113) and computes the feature pyramid once instead
-        of twice."""
+    def __call__(self, img1, img2, pair_mode="two") -> Dict[int, Any]:
+        """Pairing modes (all bit-exact; they only change how the shared
+        feature pass is amortized):
+
+        * ``two``: independent img1/img2 batches (reference semantics).
+        * ``shared``: img2 == img1 with the batch axis reversed (the
+          forward+backward inference pattern, lite_flow.py:108-113);
+          features computed once.
+        * ``consecutive``: img1 is a stack of M unique frames (img2
+          ignored); flows are predicted for all forward pairs
+          (frame i -> i+1) followed by all backward pairs (i+1 -> i),
+          output batch 2(M-1). Features computed once for M frames instead
+          of 4(M-1) — the batch-mode amortization (pipeline/scan_runner.py).
+        """
         features = _Features(name="features")  # shared for both views
-        feats1: List = features(img1)
-        if shared_pair:
-            feats2 = [f[::-1] for f in feats1]
+        if pair_mode == "consecutive":
+            feats_all: List = features(img1)
+            feats1 = [jnp.concatenate([f[:-1], f[1:]], axis=0) for f in feats_all]
+            feats2 = [jnp.concatenate([f[1:], f[:-1]], axis=0) for f in feats_all]
         else:
-            feats2 = features(img2)
+            feats1 = features(img1)
+            if pair_mode == "shared":
+                feats2 = [f[::-1] for f in feats1]
+            else:
+                feats2 = features(img2)
 
         # image pyramid at feature resolutions (levels 2..6)
-        imgs1 = {1: img1}
-        imgs2 = {1: img2}
-        for lvl in range(2, 7):
-            h, w = feats1[lvl - 1].shape[1], feats1[lvl - 1].shape[2]
-            imgs1[lvl] = resize_bilinear(imgs1[lvl - 1], h, w)
-            imgs2[lvl] = (
-                imgs1[lvl][::-1]
-                if shared_pair
-                else resize_bilinear(imgs2[lvl - 1], h, w)
-            )
+        if pair_mode == "consecutive":
+            pyr = {1: img1}
+            for lvl in range(2, 7):
+                h, w = feats_all[lvl - 1].shape[1], feats_all[lvl - 1].shape[2]
+                pyr[lvl] = resize_bilinear(pyr[lvl - 1], h, w)
+            imgs1 = {
+                l: jnp.concatenate([p[:-1], p[1:]], axis=0)
+                for l, p in pyr.items()
+            }
+            imgs2 = {
+                l: jnp.concatenate([p[1:], p[:-1]], axis=0)
+                for l, p in pyr.items()
+            }
+        else:
+            imgs1 = {1: img1}
+            imgs2 = {1: img2}
+            for lvl in range(2, 7):
+                h, w = feats1[lvl - 1].shape[1], feats1[lvl - 1].shape[2]
+                imgs1[lvl] = resize_bilinear(imgs1[lvl - 1], h, w)
+                imgs2[lvl] = (
+                    imgs1[lvl][::-1]
+                    if pair_mode == "shared"
+                    else resize_bilinear(imgs2[lvl - 1], h, w)
+                )
 
         flow = None
         flows = {}

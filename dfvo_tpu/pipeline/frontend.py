@@ -186,6 +186,71 @@ class DeepFrontend:
 
         return jax.tree.map(cast, variables)
 
+    # -- batched chunk inference ---------------------------------------------
+    def infer_chunk(self, variables, all_imgs):
+        """Network inference for a whole frame chunk in ONE batch.
+
+        The per-frame step launches ~150 small convolutions whose dispatch
+        latency dominates at VO resolutions; batching T frames per launch
+        amortizes it T-fold. Features are additionally shared across the
+        forward/backward pair structure (LiteFlowNet ``consecutive`` mode).
+
+        Args:
+            variables: network variables.
+            all_imgs: [M x H x W x 3] float images in [0, 1] — M-1
+                consecutive pairs (i -> i+1).
+
+        Returns:
+            dict with ``depths`` [M-1 x H x W] (raw metric depth of frames
+            1..M-1), ``flow_fwd`` [M-1 x H x W x 2], ``flow_diff``
+            [M-1 x H x W].
+        """
+        m = all_imgs.shape[0]
+        imgs_net = all_imgs.astype(self.dtype)
+
+        depths = self.depth_net.apply(variables["depth"], imgs_net[1:])[
+            "depth"
+        ].astype(jnp.float32)
+
+        th, tw = self.flow_feed
+        if (th, tw) != (self.h, self.w):
+            feed = resize_bilinear(imgs_net, th, tw, align_corners=True)
+        else:
+            feed = imgs_net
+        if self.flow_kind == "liteflow":
+            flows = self.flow_net.apply(
+                variables["flow"], feed, feed, pair_mode="consecutive"
+            )
+            flow_feed_res = flows[1]
+        else:
+            img1 = jnp.concatenate([feed[:-1], feed[1:]], axis=0)
+            img2 = jnp.concatenate([feed[1:], feed[:-1]], axis=0)
+            _, ms_vect = self.flow_net.apply(variables["flow"], img1, img2)
+            flow_feed_res = ms_vect[-1] * (1.0 / 2 ** (7 - 5))
+        flow_feed_res = flow_feed_res.astype(jnp.float32)
+
+        f_fwd_n = flow_feed_res[: m - 1]
+        f_bwd_n = flow_feed_res[m - 1 :]
+        flow_fwd = resize_dense_flow(f_fwd_n, self.h, self.w)
+
+        hn, wn = f_fwd_n.shape[1], f_fwd_n.shape[2]
+        warp = grid_sample(
+            -f_bwd_n, flow_to_coords(f_fwd_n), padding_mode="zeros"
+        )
+        unit_scale = jnp.array([self.w / wn, self.h / hn], jnp.float32)
+        diff_n = jnp.linalg.norm(
+            (f_fwd_n - warp) * unit_scale, axis=-1, keepdims=True
+        )
+        flow_diff = resize_bilinear(
+            diff_n, self.h, self.w, align_corners=True
+        )[..., 0]
+
+        return {
+            "depths": depths,
+            "flow_fwd": flow_fwd,
+            "flow_diff": flow_diff,
+        }
+
     # -- fused inference ----------------------------------------------------
     def infer(self, variables, img_cur, img_ref):
         """Depth of the current view + bidirectional flow ref<->cur.
@@ -217,7 +282,7 @@ class DeepFrontend:
         if self.flow_kind == "liteflow":
             # img2f is img1f with the batch flipped: share the feature pass
             flows = self.flow_net.apply(
-                variables["flow"], img1f, img2f, shared_pair=True
+                variables["flow"], img1f, img2f, pair_mode="shared"
             )
             flow_feed_res = flows[1]
         else:

@@ -41,19 +41,35 @@ class ScanRunner:
         def chunk_step(variables, imgs_u8, carry, rngs, K, K_inv):
             """imgs_u8: [T x H x W x 3]; carry = (img_ref_u8, depth_ref_raw,
             prev_motion, prev_scale). Returns ([T x 4 x 4] relative poses,
-            [T] modes, new carry)."""
+            [T] modes, new carry).
+
+            Two phases: (1) ALL network inference for the chunk as one
+            batch — the nets have no cross-frame dependency, and batching
+            amortizes the per-conv dispatch latency that dominates at VO
+            resolutions; (2) a lax.scan over the (cheap) tracking steps,
+            which carry the constant-motion/scale state.
+            """
+            img_ref_u8, depth_ref0, prev_motion0, prev_scale0 = carry
+            all_imgs = (
+                jnp.concatenate([img_ref_u8[None], imgs_u8], axis=0).astype(
+                    jnp.float32
+                )
+                / 255.0
+            )
+            fo = frontend.infer_chunk(variables, all_imgs)
+            # reference depth of pair i = depth of frame i
+            depth_refs = jnp.concatenate(
+                [depth_ref0[None], fo["depths"][:-1]], axis=0
+            )
 
             def body(carry, x):
-                img_ref_u8, depth_ref, prev_motion, prev_scale = carry
-                img_cur_u8, rng = x
-                img_cur = img_cur_u8.astype(jnp.float32) / 255.0
-                img_ref = img_ref_u8.astype(jnp.float32) / 255.0
-                fo = frontend.infer(variables, img_cur, img_ref)
+                prev_motion, prev_scale = carry
+                flow_fwd, flow_diff, depth_cur, depth_ref, rng = x
                 tr = tracking_step(
                     rng,
-                    fo["flow_fwd"],
-                    fo["flow_diff"],
-                    fo["depth_cur"],
+                    flow_fwd,
+                    flow_diff,
+                    depth_cur,
                     depth_ref,
                     prev_motion,
                     K,
@@ -61,19 +77,19 @@ class ScanRunner:
                     tcfg,
                     prev_scale=prev_scale,
                 )
-                new_scale = jnp.where(
-                    tr["scale"] > 0, tr["scale"], prev_scale
-                )
-                new_carry = (
-                    img_cur_u8,
-                    fo["depth_cur"],
-                    tr["pose"],
-                    new_scale,
-                )
-                return new_carry, (tr["pose"], tr["mode"])
+                new_scale = jnp.where(tr["scale"] > 0, tr["scale"], prev_scale)
+                return (tr["pose"], new_scale), (tr["pose"], tr["mode"])
 
-            new_carry, (poses, modes) = jax.lax.scan(
-                body, carry, (imgs_u8, rngs)
+            (last_pose, last_scale), (poses, modes) = jax.lax.scan(
+                body,
+                (prev_motion0, prev_scale0),
+                (fo["flow_fwd"], fo["flow_diff"], fo["depths"], depth_refs, rngs),
+            )
+            new_carry = (
+                imgs_u8[-1],
+                fo["depths"][-1],
+                last_pose,
+                last_scale,
             )
             return poses, modes, new_carry
 
