@@ -45,17 +45,14 @@ def pnp_from_sample(X, x_norm, weights=None):
     if weights is not None:
         w = jnp.concatenate([weights, weights], axis=0)
         A = A * w[:, None]
-    # nullspace via shift-inverted power iteration (see solvers/linalg.py)
-    from .linalg import nullspace_vector
+    # nullspace via shift-inverted power iteration; rotation via Newton
+    # polar (see solvers/linalg.py — no batched SVD/eigh)
+    from .linalg import nearest_rotation, nullspace_vector
 
-    M = nullspace_vector(A).reshape(3, 4)
+    M = nullspace_vector(A, iters=6).reshape(3, 4)
     # fix the projective scale sign so det(M[:, :3]) > 0 (proper rotation)
     M = M * jnp.sign(jnp.linalg.det(M[:, :3]))
-    # nearest rotation + scale
-    U, S, Vt = jnp.linalg.svd(M[:, :3])
-    D = jnp.diag(jnp.array([1.0, 1.0, jnp.linalg.det(U @ Vt)], M.dtype))
-    R = U @ D @ Vt
-    scale = jnp.mean(S)
+    R, scale = nearest_rotation(M[:, :3])
     t = M[:, 3] / jnp.maximum(scale, 1e-12)
     return R, t
 
@@ -78,13 +75,18 @@ def pnp_from_sample_planar(X, x_norm):
     Returns:
         (R [3x3], t [3]).
     """
+    from .linalg import nearest_rotation, smallest_eigvec_3x3
+
     m = jnp.mean(X, axis=0)
     Xc = X - m
     C = Xc.T @ Xc
-    _, vecs = jnp.linalg.eigh(C)
-    normal = vecs[:, 0]
-    e1 = vecs[:, 2]
-    e2 = vecs[:, 1]
+    normal = smallest_eigvec_3x3(C)
+    # any orthonormal in-plane basis works (the homography absorbs the
+    # in-plane rotation): Gram-Schmidt against the least-aligned axis
+    a = jnp.eye(3, dtype=X.dtype)[jnp.argmin(jnp.abs(normal))]
+    e1 = jnp.cross(normal, a)
+    e1 = e1 / jnp.maximum(jnp.linalg.norm(e1), 1e-30)
+    e2 = jnp.cross(normal, e1)
     B = jnp.stack([e1, e2, normal], axis=1)  # world->plane basis (columns)
     w = Xc @ B  # [N,3]; w[:,2] ~ 0 for coplanar samples
 
@@ -109,10 +111,9 @@ def pnp_from_sample_planar(X, x_norm):
     r1, r2, t_p = r1 * sign, r2 * sign, t_p * sign
     r3 = jnp.cross(r1, r2)
     R_p = jnp.stack([r1, r2, r3], axis=1)
-    # project to SO(3)
-    U, _, Vt = jnp.linalg.svd(R_p)
-    D = jnp.diag(jnp.array([1.0, 1.0, jnp.linalg.det(U @ Vt)], X.dtype))
-    R_p = U @ D @ Vt
+    # project to SO(3) (near-orthogonal already; Newton polar converges
+    # in a few steps)
+    R_p, _ = nearest_rotation(R_p)
 
     # X_cam = R_p Bᵀ (X - m) + t_p
     R = R_p @ B.T
