@@ -284,6 +284,67 @@ class DFVO:
         print("=> Finish!")
         self.save_results()
 
+    # ------------------------------------------------------------------
+    def save_state(self, path):
+        """Checkpoint the mid-sequence VO state (new capability — the
+        reference can only restart a sequence from scratch, SURVEY.md §5).
+
+        Saves the trajectory so far, the rolling reference-frame state, the
+        network variables (possibly finetuned), and the frame cursor.
+        """
+        import numpy as np
+
+        from ..utils.checkpoint import save_variables
+
+        state = {
+            "variables": self.variables,
+            "vo": {
+                "global_poses": np.stack(
+                    [self.global_poses[k].pose for k in sorted(self.global_poses)]
+                ).astype(np.float32),
+                "pose_ids": np.asarray(sorted(self.global_poses), np.int64),
+                "tracking_stage": np.asarray(self.tracking_stage),
+                "prev_scale": np.asarray(self.prev_scale, np.float32),
+                "ref_id": np.asarray(self.ref_data.get("id", 0)),
+                "ref_motion": np.asarray(
+                    self.ref_data["motion"].pose, np.float32
+                ),
+                "ref_raw_depth": np.asarray(
+                    self.ref_data["raw_depth_dev"], np.float32
+                ),
+                "ref_img": np.asarray(self.ref_data["img_dev"], np.uint8),
+            },
+        }
+        return save_variables(path, state["variables"], train_state=state["vo"])
+
+    def load_state(self, path):
+        """Resume from :meth:`save_state`; continue with
+        ``main(start_frame=resumed_frame + 1)``."""
+        from ..utils.checkpoint import restore_variables
+
+        payload = restore_variables(path)
+        self.variables = jax.tree.map(
+            jnp.asarray, payload["variables"]
+        )
+        self.infer_variables = self.frontend.prepare_variables(self.variables)
+        vo = payload["train_state"]
+        poses = vo["global_poses"]
+        ids = vo["pose_ids"]
+        self.global_poses = {
+            int(i): SE3(np.asarray(p, np.float64))
+            for i, p in zip(ids, poses)
+        }
+        self.tracking_stage = int(vo["tracking_stage"])
+        self.prev_scale = float(vo["prev_scale"])
+        self.ref_data = {
+            "id": int(vo["ref_id"]),
+            "img": np.asarray(vo["ref_img"]),
+            "img_dev": jnp.asarray(vo["ref_img"], jnp.uint8),
+            "raw_depth_dev": jnp.asarray(vo["ref_raw_depth"], jnp.float32),
+            "motion": SE3(np.asarray(vo["ref_motion"], np.float64)),
+        }
+        return int(vo["ref_id"])
+
     def save_results(self):
         result_dir = self.cfg.directory.result_dir
         mkdir_if_not_exists(result_dir)
