@@ -43,6 +43,8 @@ def main():
     cfg = ConfigLoader().merge_cfg(
         [os.path.join(repo, "options/examples/default_configuration.yml")]
     )
+    if os.environ.get("BENCH_CHUNK"):
+        cfg.tpu.scan_chunk = int(os.environ["BENCH_CHUNK"])
     h, w = cfg.image.height, cfg.image.width
     chunk = int(cfg.tpu.scan_chunk)
 

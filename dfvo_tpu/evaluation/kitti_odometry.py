@@ -250,11 +250,41 @@ class KittiEvalOdom:
         )
         plt.close(fig)
 
+    def plot_error(self, avg_segment_errs, seq, out_dir):
+        """Per-segment-length translation/rotation error plots
+        (ref kitti_odometry.py:346-400)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        from matplotlib import pyplot as plt
+
+        os.makedirs(out_dir, exist_ok=True)
+        lengths = [l for l in self.lengths if avg_segment_errs.get(l)]
+        if not lengths:
+            return
+        for name, idx, scale, unit in (
+            ("trans", 0, 100.0, "Translation Error (%)"),
+            ("rot", 1, 180.0 / np.pi * 100.0, "Rotation Error (deg/100m)"),
+        ):
+            fig, ax = plt.subplots(figsize=(5, 4))
+            ys = [avg_segment_errs[l][idx] * scale for l in lengths]
+            ax.plot(lengths, ys, "bs-", label="Ours")
+            ax.set_xlabel("Path Length (m)")
+            ax.set_ylabel(unit)
+            ax.legend()
+            fig.savefig(
+                os.path.join(out_dir, f"{name}_err_{seq}.pdf"),
+                bbox_inches="tight",
+            )
+            plt.close(fig)
+
     def eval(self, gt_dir, result_dir, alignment=None, seqs=None):
         """Evaluate sequences in ``result_dir`` against ``gt_dir``; writes
-        errors/, plot_path/, and result.txt like the reference tool."""
+        errors/, plot_path/, plot_error/, and result.txt like the reference
+        tool."""
         error_dir = os.path.join(result_dir, "errors")
         plot_path_dir = os.path.join(result_dir, "plot_path")
+        plot_error_dir = os.path.join(result_dir, "plot_error")
         os.makedirs(error_dir, exist_ok=True)
         os.makedirs(plot_path_dir, exist_ok=True)
 
@@ -284,6 +314,7 @@ class KittiEvalOdom:
                 m["poses_gt_aligned"], m["poses_result_aligned"], seq,
                 plot_path_dir,
             )
+            self.plot_error(m["segment_errs"], seq, plot_error_dir)
 
             print(f"Sequence: {seq}")
             print(f"Seq. Length (m): {m['seq_len']:.1f}")
