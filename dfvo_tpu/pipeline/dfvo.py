@@ -41,6 +41,11 @@ class DFVO:
         self.dataset = dataset_registry[self.cfg.dataset](self.cfg)
         self.tracking_method = self.cfg.tracking_method
         self.tcfg = TrackingConfig.from_cfg(self.cfg)
+        # gt-depth input path: skip the depth CNN and feed dataset depths
+        # (ref dfvo.py:295-304 branches on data_dir['depth_src'])
+        self.use_gt_depth = (
+            getattr(self.dataset, "data_dir", {}).get("depth_src") == "gt"
+        )
 
         self.frontend = DeepFrontend(self.cfg)
         rng = jax.random.PRNGKey(self.cfg.seed)
@@ -87,10 +92,13 @@ class DFVO:
 
         @jax.jit
         def full_step(variables, img_cur_u8, img_ref_u8, depth_ref_raw,
-                      prev_motion, rng, K, K_inv, prev_scale):
+                      prev_motion, rng, K, K_inv, prev_scale,
+                      gt_depth_cur=None):
             img_cur = img_cur_u8.astype(jnp.float32) / 255.0
             img_ref = img_ref_u8.astype(jnp.float32) / 255.0
-            fo = frontend.infer(variables, img_cur, img_ref)
+            fo = frontend.infer(
+                variables, img_cur, img_ref, depth_cur=gt_depth_cur
+            )
             if deep_pose_mode:
                 # pure pose-CNN tracking (ref dfvo.py:252-255)
                 n = 1
@@ -160,6 +168,12 @@ class DFVO:
                 img = self.dataset.get_image(self.cur_data["timestamp"])
             self.cur_data["img"] = img
             img_dev = jnp.asarray(img, jnp.uint8)
+            gt_depth_dev = None
+            if self.use_gt_depth:
+                gt_depth_dev = jnp.asarray(
+                    self.dataset.get_depth(self.cur_data["timestamp"]),
+                    jnp.float32,
+                )
 
         mode = "None"
         if self.tracking_stage == 0:
@@ -171,10 +185,13 @@ class DFVO:
             else:
                 self.cur_data["pose"] = SE3()
             self.ref_data["motion"] = SE3()
-            with self.timers.scope("depth_cnn", "DF-VO"):
-                self.cur_data["raw_depth_dev"] = self._depth_only(
-                    self.infer_variables, img_dev
-                )
+            if self.use_gt_depth:
+                self.cur_data["raw_depth_dev"] = gt_depth_dev
+            else:
+                with self.timers.scope("depth_cnn", "DF-VO"):
+                    self.cur_data["raw_depth_dev"] = self._depth_only(
+                        self.infer_variables, img_dev
+                    )
         else:
             with self.timers.scope("vo_step", "DF-VO"):
                 rng = jax.random.fold_in(
@@ -192,6 +209,7 @@ class DFVO:
                     self.K,
                     self.K_inv,
                     jnp.asarray(self.prev_scale, jnp.float32),
+                    gt_depth_cur=gt_depth_dev,
                 )
             pose_rel = SE3(np.asarray(out["pose"], np.float64))
             # keep the scale carry on device; fetch the mode scalar only

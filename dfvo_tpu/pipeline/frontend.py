@@ -252,12 +252,15 @@ class DeepFrontend:
         }
 
     # -- fused inference ----------------------------------------------------
-    def infer(self, variables, img_cur, img_ref):
+    def infer(self, variables, img_cur, img_ref, depth_cur=None):
         """Depth of the current view + bidirectional flow ref<->cur.
 
         Args:
             variables: network variables pytree.
             img_cur, img_ref: [H x W x 3] float images in [0, 1].
+            depth_cur: optional [H x W] externally-supplied raw depth (the
+                ``depth_src: gt`` path, ref dfvo.py:304-319) — when given,
+                the depth CNN is skipped entirely.
 
         Returns:
             dict with ``depth_cur`` [H x W] (raw metric depth),
@@ -267,8 +270,11 @@ class DeepFrontend:
         img_cur = img_cur[None].astype(self.dtype)
         img_ref = img_ref[None].astype(self.dtype)
 
-        depth_out = self.depth_net.apply(variables["depth"], img_cur)
-        depth_cur = depth_out["depth"][0].astype(jnp.float32)
+        if depth_cur is None:
+            depth_out = self.depth_net.apply(variables["depth"], img_cur)
+            depth_cur = depth_out["depth"][0].astype(jnp.float32)
+        else:
+            depth_cur = depth_cur.astype(jnp.float32)
 
         # batched forward+backward like the reference (lite_flow.py:108-113)
         img1 = jnp.concatenate([img_ref, img_cur], axis=0)

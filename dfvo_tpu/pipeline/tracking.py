@@ -72,6 +72,7 @@ class TrackingConfig:
     e_iterative_kp: bool = False
     e_iter_score_method: str = "opt_flow"
     validity_method: str = "GRIC"
+    validity_thre: float = 0.0  # cfg.e_tracker.validity.thre (flow/homo_ratio)
     # rigid-flow kp selection
     rigid_rows: int = 10
     rigid_cols: int = 10
@@ -130,6 +131,7 @@ class TrackingConfig:
             e_iterative_kp=bool(cfg.e_tracker.iterative_kp.enable),
             e_iter_score_method=cfg.e_tracker.iterative_kp.score_method,
             validity_method=cfg.e_tracker.validity.method,
+            validity_thre=float(cfg.e_tracker.validity.thre or 0.0),
             rigid_rows=kp_cfg.rigid_flow_kp.num_row,
             rigid_cols=kp_cfg.rigid_flow_kp.num_col,
             rigid_num_kp=kp_cfg.rigid_flow_kp.num_bestN,
@@ -296,6 +298,7 @@ def tracking_step(
         repeats=3 if tcfg.e_iterative_kp else tcfg.e_repeat,
         num_hypotheses=tcfg.num_hypotheses,
         validity_method=tcfg.validity_method,
+        validity_thre=tcfg.validity_thre,
     )
     T_e = make_se3(e_out["R"], e_out["t"])  # cur -> ref, unit translation
 
@@ -364,6 +367,7 @@ def tracking_step(
             repeats=tcfg.e_repeat,
             num_hypotheses=tcfg.num_hypotheses,
             validity_method=tcfg.validity_method,
+            validity_thre=tcfg.validity_thre,
         )
         # adopt the refined pose when it is valid; otherwise keep pass 1
         use_ref = e_ref["valid"]

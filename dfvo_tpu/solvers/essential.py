@@ -348,4 +348,5 @@ def find_essential_ransac(
         "inlier_cnt": cnts[j],
         "cheirality_cnt": cheir,
         "slice_Es": Es[slice_best],
+        "slice_cnts": counts[slice_best],
     }

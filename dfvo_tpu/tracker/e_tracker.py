@@ -24,7 +24,11 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ..solvers.essential import find_essential_ransac, two_view_depths
+from ..solvers.essential import (
+    find_essential_ransac,
+    recover_pose,
+    two_view_depths,
+)
 from ..solvers.gric import calc_gric, fundamental_residual, homography_residual
 from ..solvers.homography import find_homography_ransac
 from ..solvers.scale import scale_ransac_1d
@@ -46,6 +50,7 @@ def compute_pose_2d2d(
     repeats=5,
     num_hypotheses=256,
     validity_method="GRIC",
+    validity_thre=0.0,
 ):
     """Pose (cur → ref) from 2D-2D correspondences with model selection.
 
@@ -65,7 +70,13 @@ def compute_pose_2d2d(
         K, K_inv: intrinsics.
         reproj_thre: RANSAC inlier threshold (pixels).
         repeats: independent RANSAC runs voting on validity (static).
-        validity_method: 'GRIC' | 'flow' | 'none' (static).
+        validity_method: 'GRIC' | 'flow' | 'homo_ratio' | 'none' (static).
+            All three reference methods (E_tracker.py:182-217, :243-276):
+            GRIC votes H_gric > E_gric per repeat; flow gates on mean flow
+            magnitude > ``validity_thre`` then votes per-repeat cheirality
+            > 10%; homo_ratio fits one homography at threshold 0.2 and
+            votes H_inl/(H_inl+E_inl) < ``validity_thre`` per repeat.
+        validity_thre: cfg.e_tracker.validity.thre (flow / homo_ratio only).
 
     Returns:
         dict with ``R`` [3x3], ``t`` [3] (unit norm or zero), ``valid``
@@ -75,7 +86,8 @@ def compute_pose_2d2d(
     n_valid = jnp.sum(valid_mask)
     nf = n_valid.astype(kp_cur.dtype)
 
-    # --- homography reference score (once, E_tracker.py:199-215)
+    # --- homography reference fit (once; GRIC at thre 1.0, homo_ratio at
+    # thre 0.2 — E_tracker.py:199-204 vs :186-193)
     if validity_method == "GRIC":
         h_out = find_homography_ransac(
             rng, kp_cur, kp_ref, valid_mask, threshold=1.0,
@@ -83,6 +95,11 @@ def compute_pose_2d2d(
         )
         h_res = homography_residual(h_out["H"], kp_cur, kp_ref, mask=valid_mask)
         h_gric = calc_gric(h_res, 0.8, nf, "HMat", mask=valid_mask)
+    elif validity_method == "homo_ratio":
+        h_out = find_homography_ransac(
+            rng, kp_cur, kp_ref, valid_mask, threshold=0.2,
+            num_hypotheses=num_hypotheses,
+        )
 
     e_out = find_essential_ransac(
         rng,
@@ -108,10 +125,28 @@ def compute_pose_2d2d(
         # the reference skips GRIC entirely for <=10 kps (E_tracker.py:196)
         votes = votes & (n_valid > 10)
     elif validity_method == "flow":
+        # flow method (E_tracker.py:182-185, :252-257): mean flow magnitude
+        # must exceed the threshold to enter the loop at all; inside, each
+        # repeat votes on its own pose's cheirality count (> 10% of kps)
         avg_flow = jnp.sum(
             jnp.linalg.norm(kp_ref - kp_cur, axis=1) * valid_mask
         ) / jnp.maximum(nf, 1.0)
-        votes = jnp.broadcast_to(avg_flow > 1.0, (repeats,))
+        gate = avg_flow > validity_thre
+
+        def cheir_one(E):
+            _, _, cnt = recover_pose(E, kp_cur, kp_ref, K_inv, valid_mask)
+            return cnt
+
+        cheirs = jax.vmap(cheir_one)(e_out["slice_Es"])
+        votes = (cheirs > n_valid * 0.1) & gate
+    elif validity_method == "homo_ratio":
+        # homo_ratio (E_tracker.py:243-249): per repeat, the homography
+        # inlier share H/(H+E) must stay below the threshold
+        h_cnt = h_out["inlier_cnt"].astype(kp_cur.dtype)
+        ratios = h_cnt / jnp.maximum(
+            h_cnt + e_out["slice_cnts"].astype(kp_cur.dtype), 1.0
+        )
+        votes = ratios < validity_thre
     else:
         votes = jnp.ones((repeats,), bool)
 

@@ -19,3 +19,13 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# The suite is compile-dominated (CLAUDE.md); persist CPU executables so
+# reruns skip recompiles. Separate dir from the TPU cache to avoid mixing
+# backends.
+from dfvo_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache(
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache_cpu")
+)

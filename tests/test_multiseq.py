@@ -89,3 +89,15 @@ def test_multiseq_train_step_reduces_gradients(runner):
     b0 = jax.tree.leaves(variables["depth"]["params"])[0]
     a0 = jax.tree.leaves(new_vars["depth"]["params"])[0]
     np.testing.assert_array_equal(np.asarray(b0), np.asarray(a0))
+
+
+def test_dryrun_multichip_entrypoint():
+    """The driver-facing dryrun itself must stay green (VERDICT r1 item 1).
+
+    conftest already forces the 8-device virtual CPU mesh, so the
+    function's own forcing is a no-op here; what this guards is the
+    entry point wiring (mesh build, shardings, one VO + one finetune step).
+    """
+    import __graft_entry__ as graft
+
+    graft.dryrun_multichip(8)

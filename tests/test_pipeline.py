@@ -221,3 +221,61 @@ class TestPipelineSmoke:
         for p in poses.values():
             assert np.isfinite(p).all()
         assert (tmp_path / "result" / "map.png").exists()
+
+
+class TestGtDepthPath:
+    def test_gt_depth_skips_depth_cnn(self, synthetic_kitti, tmp_path):
+        """depth_src: gt feeds dataset depths and never runs the depth CNN
+        (ref dfvo.py:295-319 branches on data_dir['depth_src'])."""
+        import cv2
+
+        from dfvo_tpu.pipeline import DFVO
+        from dfvo_tpu.utils import ConfigLoader
+
+        # KittiOdom gt-depth layout: depth_dir/gt/<seq>/<id:010d>.png @ /500
+        depth_dir = tmp_path / "depth"
+        gt_seq = depth_dir / "gt" / "42"
+        gt_seq.mkdir(parents=True)
+        rng = np.random.RandomState(1)
+        coarse = rng.uniform(5.0, 40.0, (6, 20)).astype(np.float32)
+        for i in range(6):
+            d = cv2.resize(coarse + 0.01 * i, (320, 96),
+                           interpolation=cv2.INTER_CUBIC)
+            cv2.imwrite(
+                str(gt_seq / f"{i:010d}.png"),
+                (d * 500).astype(np.uint16),
+            )
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        cfg = ConfigLoader().merge_cfg(
+            [os.path.join(repo, "options/examples/default_configuration.yml")]
+        )
+        cfg.seq = "42"
+        cfg.image.height = 96
+        cfg.image.width = 320
+        cfg.directory.img_seq_dir = str(synthetic_kitti / "odom_data")
+        cfg.directory.gt_pose_dir = str(synthetic_kitti / "gt_poses")
+        cfg.directory.depth_dir = str(depth_dir)
+        cfg.directory.result_dir = str(tmp_path / "result")
+        cfg.depth.depth_src = "gt"
+        cfg.visualization.enable = False
+        cfg.tpu.ransac_hypotheses = 64
+
+        vo = DFVO(cfg)
+        assert vo.use_gt_depth
+
+        # poison the depth net: any apply after setup proves the CNN ran
+        def boom(*a, **k):
+            raise AssertionError("depth CNN must not run with depth_src: gt")
+
+        vo.frontend.depth_net.apply = boom
+        vo.main(num_frames=3)
+
+        traj = tmp_path / "result" / "42.txt"
+        assert traj.exists()
+        from dfvo_tpu.utils.io import load_poses_from_txt
+
+        poses = load_poses_from_txt(str(traj))
+        assert len(poses) == 3
+        for p in poses.values():
+            assert np.isfinite(p).all()

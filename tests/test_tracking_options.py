@@ -143,3 +143,130 @@ class TestKpMethods:
         T = np.asarray(out["pose"], np.float64)
         ang, _ = pose_errors(T, T_cur2ref.astype(np.float64))
         assert ang < 0.2
+
+
+def _kp_from_scene(n=512, planar=False, seed=0, noise=0.0):
+    """Synthetic 2D-2D correspondences from a known motion.
+
+    Returns (kp_cur, kp_ref, valid, T_cur2ref). View geometry matches the
+    tracker convention: kp_cur projected in the current frame, kp_ref in the
+    reference frame, x_ref ~ R x_cur + t.
+    """
+    rng = np.random.RandomState(seed)
+    K = np.asarray(Kj)
+    T_cur2ref, _ = gt_motion(scale=1.0)
+    x = rng.uniform(-8, 8, n)
+    y = rng.uniform(-3, 3, n)
+    z = np.full(n, 15.0) if planar else rng.uniform(6.0, 40.0, n)
+    pts_cur = np.stack([x, y, z], 1)
+    pts_ref = pts_cur @ T_cur2ref[:3, :3].T + T_cur2ref[:3, 3]
+
+    def proj(p):
+        uv = p @ K.T
+        return uv[:, :2] / uv[:, 2:3]
+
+    kp_cur = proj(pts_cur) + rng.randn(n, 2) * noise
+    kp_ref = proj(pts_ref) + rng.randn(n, 2) * noise
+    valid = np.ones(n, bool)
+    return (
+        jnp.asarray(kp_cur, jnp.float32),
+        jnp.asarray(kp_ref, jnp.float32),
+        jnp.asarray(valid),
+        T_cur2ref,
+    )
+
+
+class TestValidityMethods:
+    """All three reference validity methods (E_tracker.py:182-217,243-276)."""
+
+    def _pose(self, method, thre, planar=False):
+        from dfvo_tpu.tracker.e_tracker import compute_pose_2d2d
+
+        kp_cur, kp_ref, valid, T_gt = _kp_from_scene(planar=planar)
+        out = compute_pose_2d2d(
+            jax.random.PRNGKey(3),
+            kp_cur,
+            kp_ref,
+            valid,
+            Kj,
+            Kij,
+            repeats=3,
+            num_hypotheses=128,
+            validity_method=method,
+            validity_thre=thre,
+        )
+        return out, T_gt
+
+    def test_flow_gate_blocks_small_flow(self):
+        # mean flow of this scene is a few pixels; a huge threshold must
+        # invalidate the pose exactly like ref E_tracker.py:182-185
+        out, _ = self._pose("flow", 1e6)
+        assert not bool(out["valid"])
+        assert np.allclose(np.asarray(out["R"]), np.eye(3), atol=1e-6)
+
+    def test_flow_accepts_with_low_threshold(self):
+        out, T_gt = self._pose("flow", 0.1)
+        assert bool(out["valid"])
+        ang, _ = pose_errors(
+            np.asarray(
+                jnp.concatenate(
+                    [
+                        jnp.concatenate(
+                            [out["R"], out["t"][:, None]], axis=1
+                        ),
+                        jnp.array([[0.0, 0, 0, 1]]),
+                    ]
+                )
+            ),
+            T_gt,
+        )
+        assert ang < 0.5
+
+    def test_homo_ratio_vote_directions(self):
+        # ratio = H/(H+E) is in (0,1): a threshold above it accepts, one
+        # below rejects (ref E_tracker.py:243-249)
+        out_hi, _ = self._pose("homo_ratio", 0.99)
+        out_lo, _ = self._pose("homo_ratio", 0.01)
+        assert bool(out_hi["valid"])
+        assert not bool(out_lo["valid"])
+
+    def test_homo_ratio_planar_scores_higher(self):
+        # a planar scene is fully explained by a homography, so its inlier
+        # share must exceed the general scene's
+        from dfvo_tpu.solvers.essential import find_essential_ransac
+        from dfvo_tpu.solvers.homography import find_homography_ransac
+
+        def ratio(planar):
+            kp_cur, kp_ref, valid, _ = _kp_from_scene(planar=planar, noise=0.05)
+            h = find_homography_ransac(
+                jax.random.PRNGKey(0), kp_cur, kp_ref, valid,
+                threshold=0.2, num_hypotheses=128,
+            )
+            e = find_essential_ransac(
+                jax.random.PRNGKey(0), kp_cur, kp_ref, Kj, Kij, valid,
+                threshold=0.2, num_hypotheses=128,
+            )
+            return float(h["inlier_cnt"]) / float(
+                h["inlier_cnt"] + e["inlier_cnt"]
+            )
+
+        assert ratio(planar=True) > ratio(planar=False)
+
+    def test_validity_thre_from_cfg(self):
+        from dfvo_tpu.utils import ConfigLoader
+        import os
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        cfg = ConfigLoader().merge_cfg(
+            [
+                os.path.join(
+                    repo, "options/examples/default_configuration.yml"
+                ),
+                os.path.join(
+                    repo, "options/examples/ablation_model_sel_flow.yml"
+                ),
+            ]
+        )
+        tcfg = TrackingConfig.from_cfg(cfg)
+        assert tcfg.validity_method == "flow"
+        assert tcfg.validity_thre == 5.0
