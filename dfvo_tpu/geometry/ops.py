@@ -145,9 +145,12 @@ def triangulate_points(kp1, kp2, P1, P2):
     a3, a4 = two_rows(kp2, P2)
     A = jnp.stack([a1, a2, a3, a4], axis=-2)  # [N,4,4]
     AtA = jnp.einsum("nij,nik->njk", A, A)
-    # smallest eigenvector of symmetric AtA
-    _, vecs = jnp.linalg.eigh(AtA)
-    return vecs[..., 0]  # eigh sorts ascending
+    # smallest eigenvector of symmetric AtA: shift-inverted power iteration
+    # (solvers/linalg.py) — batched eigh is a sequential TPU custom call
+    # that showed up in the round-2 device profile
+    from ..solvers.linalg import spd_smallest_eigvec
+
+    return spd_smallest_eigvec(AtA)
 
 
 @highp

@@ -78,11 +78,29 @@ def _grid_xy(table, w):
 def _select_best_per_cell(score_cells, valid_cells, k):
     """Per-cell smallest-k scores among valid entries.
 
+    Implemented as k rounds of argmin-extraction instead of ``lax.top_k``:
+    XLA lowers top_k to a full bitonic sort of the [n_cells x cell_size]
+    score table, which the round-2 device profile measured at 0.85 ms/frame
+    — k (=N/cells, typically 20) sequential masked argmin reductions are
+    ~an order of magnitude cheaper and produce the SAME selection with the
+    same stable lowest-index tie-breaking.
+
     Returns (local_idx [n_cells x k], sel_valid [n_cells x k]).
     """
     masked = jnp.where(valid_cells, score_cells, jnp.inf)
-    neg_vals, local_idx = jax.lax.top_k(-masked, k)
-    sel_valid = jnp.isfinite(-neg_vals)
+    n_cells = masked.shape[0]
+    rows = jnp.arange(n_cells)
+
+    def body(carry, _):
+        scores = carry
+        j = jnp.argmin(scores, axis=1)  # first minimal index per cell
+        v = scores[rows, j]
+        scores = scores.at[rows, j].set(jnp.inf)
+        return scores, (j, v)
+
+    _, (idx_T, val_T) = jax.lax.scan(body, masked, None, length=k)
+    local_idx = idx_T.T  # [n_cells x k]
+    sel_valid = jnp.isfinite(val_T.T)
     return local_idx, sel_valid
 
 

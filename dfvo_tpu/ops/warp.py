@@ -36,6 +36,9 @@ def flow_to_coords(flow):
 def grid_sample(src, coords, padding_mode="zeros"):
     """Bilinear sampling of ``src`` at pixel coordinates ``coords``.
 
+    The 'zeros' mode (every hot-path warp) routes to the packed-patch
+    single-gather kernel below; 'border' keeps the 4-gather formulation.
+
     Args:
         src: (array, [NxHxWxC]) source image/feature map.
         coords: (array, [NxH'xW'x2]) sample locations as [x, y] in pixels of
@@ -46,6 +49,76 @@ def grid_sample(src, coords, padding_mode="zeros"):
     Returns:
         (array, [NxH'xW'xC]) sampled values.
     """
+    if padding_mode == "zeros" and src.shape[1] >= 2 and src.shape[2] >= 2:
+        return _grid_sample_patch4(src, coords)
+    return _grid_sample_gather4(src, coords, padding_mode)
+
+
+def _grid_sample_patch4(src, coords):
+    """Zeros-padding bilinear sampling as ONE gather of 4C-wide rows.
+
+    TPU gathers cost ~(fixed + bytes) *per gathered row* (measured on v5e:
+    a 256-byte row costs barely less than a 1KB row — see
+    tools/bench_warp.py), so packing the four bilinear corners of each
+    sample into one row of a precomputed 2x2-patch table is ~2-4x faster
+    than four narrow gathers; the shift-stacked table itself builds at
+    plain HBM bandwidth. This is the round-2 replacement for the round-1
+    4-gather warp (the single largest item in the device profile,
+    CLAUDE.md).
+
+    Zeros-padding correctness without masks: clamp the patch ORIGIN into
+    bounds and weight each patch cell by hat(x - cell_x)·hat(y - cell_y),
+    hat(d) = max(0, 1 - |d|). Interior samples see the four true corners
+    with the standard bilinear weights; for border/outside samples every
+    in-range source pixel within distance < 1 of the sample is still inside
+    the clamped patch, and every other cell's hat weight is 0 — exactly
+    torch grid_sample(padding_mode='zeros', align_corners=True) semantics
+    in pixel units (ref lite_flow_net.py:10-28).
+    """
+    n, h, w, c = src.shape
+    out_shape = coords.shape[:-1]
+    x = coords[..., 0]
+    y = coords[..., 1]
+    x0c = jnp.clip(jnp.floor(x), 0, w - 2).astype(jnp.int32)
+    y0c = jnp.clip(jnp.floor(y), 0, h - 2).astype(jnp.int32)
+
+    def hat(d):
+        return jnp.maximum(0.0, 1.0 - jnp.abs(d)).astype(src.dtype)
+
+    fx0 = x - x0c.astype(x.dtype)
+    fy0 = y - y0c.astype(y.dtype)
+    w00 = (hat(fy0) * hat(fx0))[..., None]
+    w10 = (hat(fy0) * hat(fx0 - 1))[..., None]
+    w01 = (hat(fy0 - 1) * hat(fx0))[..., None]
+    w11 = (hat(fy0 - 1) * hat(fx0 - 1))[..., None]
+
+    patches = jnp.concatenate(
+        [
+            src[:, :-1, :-1, :],
+            src[:, :-1, 1:, :],
+            src[:, 1:, :-1, :],
+            src[:, 1:, 1:, :],
+        ],
+        axis=-1,
+    )  # [n, h-1, w-1, 4c]
+    p_flat = patches.reshape(n * (h - 1) * (w - 1), 4 * c)
+    batch_off = (jnp.arange(n, dtype=jnp.int32) * ((h - 1) * (w - 1))).reshape(
+        (n,) + (1,) * (len(out_shape) - 1)
+    )
+    idx = (y0c * (w - 1) + x0c + batch_off).reshape(-1)
+    g = jnp.take(p_flat, idx, axis=0).reshape(out_shape + (4 * c,))
+    return (
+        g[..., 0 * c : 1 * c] * w00
+        + g[..., 1 * c : 2 * c] * w10
+        + g[..., 2 * c : 3 * c] * w01
+        + g[..., 3 * c : 4 * c] * w11
+    )
+
+
+def _grid_sample_gather4(src, coords, padding_mode="zeros"):
+    """Reference 4-gather bilinear sampling (kept for 'border' mode, for
+    degenerate 1-pixel sources, and as the parity oracle for the packed
+    kernel in tests)."""
     n, h, w, c = src.shape
     out_shape = coords.shape[:-1]
     x = coords[..., 0]

@@ -134,11 +134,13 @@ class DFVO:
                 "scale": tr["scale"],
                 "depth_cur_raw": fo["depth_cur"],
                 "flow_fwd": fo["flow_fwd"],
+                "flow_bwd": fo["flow_bwd"],
                 "flow_diff": fo["flow_diff"],
                 "kp_ref": tr["kp_ref"],
                 "kp_cur": tr["kp_cur"],
                 "kp_valid": tr["kp_valid"],
                 "inliers": tr["inliers"],
+                "rigid_flow_diff": tr["rigid_flow_diff"],
                 "depth_cur": tr["depth_cur"],
             }
 
@@ -219,6 +221,7 @@ class DFVO:
                 out["scale"] > 0, out["scale"], self.prev_scale
             )
             mode = _MODE_NAMES[int(out["mode"])] if self.drawer else "n/a"
+            self.tracking_mode = mode  # shown in the drawer text block
             self.cur_data["pose"] = self.global_poses[
                 self.ref_data["id"]
             ].copy()

@@ -94,6 +94,11 @@ class TrackingConfig:
     pnp_iter_score_method: str = "rigid_flow"
     # ransac batching
     num_hypotheses: int = 256
+    # statically drop the PnP-fallback branch (E-success path only, with
+    # constant-motion fallback): the benchmark's realistic-path mode — on
+    # real KITTI the E path dominates, while random benchmark frames force
+    # the PnP conditional every frame (2.9 ms/frame in the device profile)
+    force_e_path: bool = False
 
     @classmethod
     def from_cfg(cls, cfg):
@@ -149,6 +154,7 @@ class TrackingConfig:
             pnp_iterative_kp=bool(cfg.pnp_tracker.iterative_kp.enable),
             pnp_iter_score_method=cfg.pnp_tracker.iterative_kp.score_method,
             num_hypotheses=cfg.tpu.ransac_hypotheses,
+            force_e_path=bool(cfg.tpu.get("force_e_path", False)),
         )
 
 
@@ -451,16 +457,31 @@ def tracking_step(
             "mask": jnp.zeros(n, bool),
         }
 
-    need_pnp = kp["good_kp_found"] & (~e_success)
-    pnp_out = jax.lax.cond(need_pnp, run_pnp, skip_pnp, None)
+    if tcfg.force_e_path:
+        # benchmark's realistic-path mode: no PnP branch compiled at all;
+        # E failure falls back to constant motion
+        pnp_out = skip_pnp(None)
+        pnp_out["T"] = prev_motion
+    else:
+        need_pnp = kp["good_kp_found"] & (~e_success)
+        pnp_out = jax.lax.cond(need_pnp, run_pnp, skip_pnp, None)
 
     pose = jnp.where(e_success, pose_e, pnp_out["T"])
     pose = jnp.where(kp["good_kp_found"], pose, prev_motion)
+    fallback_mode = TRACK_MODE_CONST if tcfg.force_e_path else TRACK_MODE_PNP
     mode = jnp.where(
         kp["good_kp_found"],
-        jnp.where(e_success, TRACK_MODE_ESSENTIAL, TRACK_MODE_PNP),
+        jnp.where(e_success, TRACK_MODE_ESSENTIAL, fallback_mode),
         TRACK_MODE_CONST,
     )
+
+    # pose-induced rigid flow diff map (visualization parity with the
+    # reference's rigid_flow_mask tile, frame_drawer.py:498-512): negligible
+    # compute (one reprojection of the reference depth by the final pose)
+    rflow_final = rigid_flow(
+        depth_ref_raw[None], se3_inverse(pose)[None], K, K_inv
+    )[0]
+    rigid_flow_diff = jnp.linalg.norm(rflow_final - flow_fwd, axis=-1)
 
     return {
         "pose": pose,
@@ -472,5 +493,6 @@ def tracking_step(
         "kp_valid": valid,
         "inliers": jnp.where(e_success, e_out["inliers"], pnp_out["inliers"]),
         "fb_flow_mask": kp.get("fb_flow_mask", flow_diff),
+        "rigid_flow_diff": rigid_flow_diff,
         "depth_cur": depth_cur,
     }

@@ -40,9 +40,14 @@ def _normalize(kp, K_inv):
 
 
 def _project_to_essential(E):
-    """Project a 3x3 onto the essential manifold: singular values (1, 1, 0)."""
-    U, _, Vt = jnp.linalg.svd(E)
-    return U @ jnp.diag(jnp.array([1.0, 1.0, 0.0], E.dtype)) @ Vt
+    """Project a 3x3 onto the essential manifold: singular values (1, 1, 0).
+
+    Uses the closed-form SVD frames (solvers/linalg.py:essential_uv_closed)
+    — batched jnp.linalg.svd is a sequential custom call on TPU."""
+    from .linalg import essential_uv_closed
+
+    U, V, _ = essential_uv_closed(E)
+    return U[:, :1] @ V[:, :1].T + U[:, 1:2] @ V[:, 1:2].T
 
 
 @highp
@@ -113,9 +118,10 @@ def decompose_essential(E):
     Returns:
         Rs: [4 x 3 x 3], ts: [4 x 3] (unit-norm translation).
     """
-    U, _, Vt = jnp.linalg.svd(E)
-    U = U * jnp.sign(jnp.linalg.det(U))
-    Vt = Vt * jnp.sign(jnp.linalg.det(Vt))
+    from .linalg import essential_uv_closed
+
+    U, V, _ = essential_uv_closed(E)  # det(U) = det(V) = +1 by construction
+    Vt = V.T
     W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], E.dtype)
     R1 = U @ W @ Vt
     R2 = U @ W.T @ Vt
@@ -227,8 +233,10 @@ def _gn_polish_pose(R0, t0, x1, x2, weights, iters=5):
             jnp.zeros(5, dtype=x1.dtype)
         )
         r, _ = residuals(jnp.zeros(5, dtype=x1.dtype), R, t)
+        from .linalg import spd_solve_small
+
         H = J.T @ J + 1e-8 * jnp.eye(5, dtype=x1.dtype)
-        delta = -jnp.linalg.solve(H, J.T @ r)
+        delta = -spd_solve_small(H, J.T @ r)
         _, (Rn, tn) = residuals(delta, R, t)
         return Rn, tn
 

@@ -74,8 +74,11 @@ def homography_from_sample(p1, p2, weights=None):
     from .linalg import nullspace_vector
 
     Hn = nullspace_vector(A).reshape(3, 3)
-    # denormalize: x2 = T2⁻¹ Hn T1 x1
-    return jnp.linalg.solve(T2, Hn @ T1)
+    # denormalize: x2 = T2⁻¹ Hn T1 x1 (closed-form 3x3 inverse — no LU
+    # custom call inside the vmapped RANSAC)
+    from .linalg import inv_3x3
+
+    return inv_3x3(T2) @ (Hn @ T1)
 
 
 @highp

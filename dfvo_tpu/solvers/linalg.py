@@ -24,9 +24,115 @@ import jax.numpy as jnp
 from ..utils.precision import highp
 
 
+def cholesky_unrolled(M):
+    """Batched Cholesky of small SPD matrices as pure unrolled vector ops.
+
+    XLA lowers ``jnp.linalg.cholesky`` / ``solve_triangular`` on batched
+    tiny matrices to LU/Cholesky *custom calls* that cost ~1 ms/frame in
+    the tracking step (device profile, CLAUDE.md round 2). For n <= ~12 the
+    unrolled textbook algorithm is a few hundred fused elementwise ops on
+    [batch]-shaped vectors — no custom call, no sequential kernel.
+
+    Args:
+        M: [... x n x n] SPD matrices (n static, small).
+
+    Returns:
+        [... x n x n] lower-triangular L with M = L Lᵀ.
+    """
+    n = M.shape[-1]
+    cols = [[None] * n for _ in range(n)]  # cols[i][j] = L[..., i, j]
+    for j in range(n):
+        s = M[..., j, j]
+        for k in range(j):
+            s = s - cols[j][k] * cols[j][k]
+        d = jnp.sqrt(jnp.maximum(s, 1e-30))
+        cols[j][j] = d
+        inv_d = 1.0 / d
+        for i in range(j + 1, n):
+            s = M[..., i, j]
+            for k in range(j):
+                s = s - cols[i][k] * cols[j][k]
+            cols[i][j] = s * inv_d
+    zero = jnp.zeros_like(M[..., 0, 0])
+    rows = [
+        jnp.stack([cols[i][j] if j <= i else zero for j in range(n)], axis=-1)
+        for i in range(n)
+    ]
+    return jnp.stack(rows, axis=-2)
+
+
+def tril_inverse_unrolled(L):
+    """Batched inverse of small lower-triangular matrices (unrolled forward
+    substitution on the identity; same rationale as cholesky_unrolled)."""
+    n = L.shape[-1]
+    inv_diag = [1.0 / L[..., i, i] for i in range(n)]
+    X = [[None] * n for _ in range(n)]  # X[i][j] = L^-1[..., i, j]
+    zero = jnp.zeros_like(L[..., 0, 0])
+    for j in range(n):
+        for i in range(n):
+            if i < j:
+                X[i][j] = zero
+            elif i == j:
+                X[i][j] = inv_diag[i]
+            else:
+                s = zero
+                for k in range(j, i):
+                    s = s + L[..., i, k] * X[k][j]
+                X[i][j] = -s * inv_diag[i]
+    rows = [jnp.stack(X[i], axis=-1) for i in range(n)]
+    return jnp.stack(rows, axis=-2)
+
+
+def spd_inverse_small(M):
+    """Batched inverse of small SPD matrices: M⁻¹ = L⁻ᵀ L⁻¹ with the
+    unrolled Cholesky — pure elementwise ops + one batched matmul."""
+    L = cholesky_unrolled(M)
+    Li = tril_inverse_unrolled(L)
+    return jnp.einsum("...ki,...kj->...ij", Li, Li)
+
+
+def spd_solve_small(M, b):
+    """Solve M x = b for small SPD M without LU custom calls."""
+    return jnp.einsum("...ij,...j->...i", spd_inverse_small(M), b)
+
+
+@highp
+def spd_smallest_eigvec(M, iters=8, shift=1e-6):
+    """Unit eigenvector of the smallest eigenvalue of small SPD matrices by
+    shift-inverted power iteration (replaces batched ``jnp.linalg.eigh`` —
+    a slow sequential custom call on TPU; cf. triangulate_points).
+
+    Args:
+        M: [... x n x n] SPD matrices (n static, small).
+        iters: power-iteration steps (static).
+        shift: relative diagonal shift (times mean diagonal).
+
+    Returns:
+        [... x n] unit eigenvector of the smallest eigenvalue.
+    """
+    n = M.shape[-1]
+    mean_diag = jnp.trace(M, axis1=-2, axis2=-1)[..., None, None] / n
+    Ms = M + shift * mean_diag * jnp.eye(n, dtype=M.dtype)
+    Minv = spd_inverse_small(Ms)
+    v = jnp.ones(M.shape[:-1], M.dtype) / jnp.sqrt(jnp.asarray(n, M.dtype))
+
+    def body(_, v):
+        y = jnp.einsum("...ij,...j->...i", Minv, v)
+        return y / jnp.maximum(
+            jnp.linalg.norm(y, axis=-1, keepdims=True), 1e-30
+        )
+
+    return jax.lax.fori_loop(0, iters, body, v)
+
+
 @highp
 def nullspace_vector(A, iters=10, shift=1e-6):
     """Approximate right-singular vector of A's smallest singular value.
+
+    Shift-inverted power iteration with the inverse formed ONCE by the
+    unrolled small-matrix Cholesky (no LU/triangular-solve custom calls —
+    those cost ~1.2 ms/frame at batch 1280 in the round-2 device profile);
+    each iteration is then a single fused batched matvec.
 
     Args:
         A: [... x m x n] design matrix (m >= n).
@@ -37,29 +143,8 @@ def nullspace_vector(A, iters=10, shift=1e-6):
     Returns:
         [... x n] unit vector minimizing ‖A v‖.
     """
-    n = A.shape[-1]
     M = jnp.einsum("...ij,...ik->...jk", A, A)
-    mean_diag = jnp.trace(M, axis1=-2, axis2=-1)[..., None, None] / n
-    M = M + shift * mean_diag * jnp.eye(n, dtype=A.dtype)
-    L = jnp.linalg.cholesky(M)
-
-    # deterministic start vector with generic overlap
-    v = jnp.ones(A.shape[:-2] + (n,), A.dtype) / jnp.sqrt(
-        jnp.asarray(n, A.dtype)
-    )
-
-    def body(_, v):
-        y = jax.scipy.linalg.solve_triangular(
-            L, v[..., None], lower=True
-        )
-        y = jax.scipy.linalg.solve_triangular(
-            L, y, lower=True, trans=1
-        )[..., 0]
-        return y / jnp.maximum(
-            jnp.linalg.norm(y, axis=-1, keepdims=True), 1e-30
-        )
-
-    return jax.lax.fori_loop(0, iters, body, v)
+    return spd_smallest_eigvec(M, iters=iters, shift=shift)
 
 
 @highp
@@ -107,6 +192,82 @@ def nearest_rotation(M, iters=5):
     R = jax.lax.fori_loop(0, iters, body, X)
     scale = jnp.einsum("...ji,...ji->...", R, M) / 3.0
     return R, scale
+
+
+@highp
+def essential_uv_closed(E):
+    """Closed-form SVD frames of a (near-)essential 3x3 matrix.
+
+    Replaces ``jnp.linalg.svd(E)`` (a slow sequential custom call on TPU,
+    several per frame via projection/decomposition) with the Cardano
+    eigendecomposition of EᵀE: eigenvalues in closed form, v3 from a
+    projector product (well separated — σ3 ≈ 0 for essentials), v1 from the
+    complementary projector re-orthogonalized against v3 (for a true
+    essential σ1 = σ2, so any in-plane direction is valid — the essential
+    projection u1 v1ᵀ + u2 v2ᵀ and the U W Vᵀ decompositions are invariant
+    to the in-plane rotation because W commutes with rotations about z).
+
+    Returns:
+        (U [3x3], V [3x3], s [3]) with E ≈ U diag(s) Vᵀ and
+        det(U) = det(V) = +1 by construction.
+    """
+    C = E.T @ E
+    q = jnp.trace(C) / 3.0
+    Cq = C - q * jnp.eye(3, dtype=C.dtype)
+    p2 = jnp.sum(Cq * Cq) / 6.0
+    p = jnp.sqrt(jnp.maximum(p2, 1e-30))
+    B = Cq / p
+    r = jnp.clip(jnp.linalg.det(B) / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    lam1 = q + 2.0 * p * jnp.cos(phi)
+    lam3 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    lam2 = 3.0 * q - lam1 - lam3
+
+    eye = jnp.eye(3, dtype=C.dtype)
+
+    def projector_col(la, lb):
+        P = (C - la * eye) @ (C - lb * eye)
+        norms = jnp.linalg.norm(P, axis=0)
+        return P[:, jnp.argmax(norms)]
+
+    # v3 (smallest): well separated for essentials
+    w3 = projector_col(lam1, lam2)
+    n3 = jnp.linalg.norm(w3)
+    fb3 = jnp.array([0.0, 0.0, 1.0], C.dtype)
+    v3 = jnp.where(n3 > 1e-20, w3 / jnp.maximum(n3, 1e-30), fb3)
+
+    # v1 (largest): may be degenerate with v2 — re-orthogonalize against v3
+    w1 = projector_col(lam2, lam3)
+    w1 = w1 - jnp.dot(w1, v3) * v3
+    n1 = jnp.linalg.norm(w1)
+    # fallback: any direction orthogonal to v3
+    a = jnp.eye(3, dtype=C.dtype)[jnp.argmin(jnp.abs(v3))]
+    fb1 = jnp.cross(v3, a)
+    fb1 = fb1 / jnp.maximum(jnp.linalg.norm(fb1), 1e-30)
+    v1 = jnp.where(n1 > 1e-12, w1 / jnp.maximum(n1, 1e-30), fb1)
+    v2 = jnp.cross(v3, v1)
+
+    Ev1 = E @ v1
+    Ev2 = E @ v2
+    s1 = jnp.linalg.norm(Ev1)
+    u1 = Ev1 / jnp.maximum(s1, 1e-30)
+    Ev2o = Ev2 - jnp.dot(Ev2, u1) * u1
+    s2 = jnp.linalg.norm(Ev2o)
+    # fallback for rank-1 inputs: any direction orthogonal to u1
+    b = jnp.eye(3, dtype=C.dtype)[jnp.argmin(jnp.abs(u1))]
+    fbu = jnp.cross(u1, b)
+    fbu = fbu / jnp.maximum(jnp.linalg.norm(fbu), 1e-30)
+    u2 = jnp.where(s2 > 1e-12, Ev2o / jnp.maximum(s2, 1e-30), fbu)
+    u3 = jnp.cross(u1, u2)
+
+    U = jnp.stack([u1, u2, u3], axis=1)
+    V = jnp.stack([v1, v2, v3], axis=1)
+    # singular values evaluated directly on E (the Cardano eigenvalues lose
+    # ~sqrt(eps) near the sigma1=sigma2 degeneracy of true essentials)
+    s2f = jnp.dot(Ev2, u2)
+    s3 = jnp.dot(E @ v3, u3)
+    s = jnp.stack([s1, s2f, s3])
+    return U, V, s
 
 
 @highp

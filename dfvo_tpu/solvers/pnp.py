@@ -1,10 +1,13 @@
 """Batched RANSAC PnP (3D-2D pose) with Gauss-Newton refinement.
 
 TPU-native replacement for ``cv2.solvePnPRansac`` + ``cv2.Rodrigues``
-(reference pnp_tracker.py:89-116). The minimal solver is a 6-point DLT for
-the projection matrix (vmap-friendly 12x12 symmetric eigh) instead of
-OpenCV's EPnP/P3P; the winning hypothesis is polished by a fixed-iteration
-Gauss-Newton on its inlier set, mirroring solvePnPRansac's final LM refine.
+(reference pnp_tracker.py:89-116). Three vmapped minimal-solver lanes feed
+one shared RANSAC scoring pass: a 6-point projection-matrix DLT (general
+scenes), a plane-homography decomposition (coplanar scenes), and Grunert
+P3P (solvers/p3p.py; dominant at low inlier ratios, matching OpenCV's
+P3P/EPnP behavior). The winning hypothesis is polished by a
+fixed-iteration Gauss-Newton on its inlier set, mirroring solvePnPRansac's
+final LM refine.
 
 Convention: solves x ~ K (R X + t) — (R, t) map *object-frame* (reference
 view) points into the *image* (current) camera frame, exactly like
@@ -156,9 +159,11 @@ def _gauss_newton_refine(R, t, X, x_pix, K, weight, iters=10):
         )  # [N,3,6]
         J = J_p @ dP  # [N,2,6]
         w = weight[:, None, None]
+        from .linalg import spd_solve_small
+
         H = jnp.einsum("nki,nkj->ij", J * w, J) + 1e-6 * jnp.eye(6, dtype=R.dtype)
         b = jnp.einsum("nki,nk->i", J * w, r)
-        delta = -jnp.linalg.solve(H, b)
+        delta = -spd_solve_small(H, b)
         dR = so3_exp(delta[:3])
         return dR @ R, dR @ t + delta[3:]
 
@@ -200,19 +205,33 @@ def solve_pnp_ransac(
     )[:, :2]
 
     idx = sample_indices(rng, valid_mask, num_hypotheses, 6)
-    # two minimal solvers per sample: projection-matrix DLT (general scenes)
-    # and plane-homography decomposition (coplanar scenes, where the DLT is
-    # degenerate); RANSAC scoring picks whichever explains the data
+    # three minimal solvers per sample: projection-matrix DLT (general
+    # scenes), plane-homography decomposition (coplanar scenes, where the
+    # DLT is degenerate), and Grunert P3P on the first three points (low
+    # inlier ratios: an all-inlier 3-sample is ~25x likelier than a
+    # 6-sample at 30% inliers — the regime where PnP is the fallback);
+    # RANSAC scoring picks whichever explains the data
+    from .p3p import p3p_solutions
+
     Rs_d, ts_d = jax.vmap(lambda i: pnp_from_sample(X[i], x_norm[i]))(idx)
     Rs_p, ts_p = jax.vmap(lambda i: pnp_from_sample_planar(X[i], x_norm[i]))(
         idx
     )
-    Rs = jnp.concatenate([Rs_d, Rs_p], axis=0)
-    ts = jnp.concatenate([ts_d, ts_p], axis=0)
+    Rs_3, ts_3, ok_3 = jax.vmap(
+        lambda i: p3p_solutions(X[i[:3]], x_norm[i[:3]])
+    )(idx)
+    Rs_3 = Rs_3.reshape(-1, 3, 3)
+    ts_3 = ts_3.reshape(-1, 3)
+    ok_3 = ok_3.reshape(-1)
+    Rs = jnp.concatenate([Rs_d, Rs_p, Rs_3], axis=0)
+    ts = jnp.concatenate([ts_d, ts_p, ts_3], axis=0)
+    cand_ok = jnp.concatenate(
+        [jnp.ones(2 * num_hypotheses, dtype=bool), ok_3], axis=0
+    )
 
     errs = jax.vmap(lambda R, t: _reproj_err_sq(R, t, X, x_pix, K))(Rs, ts)
     inliers = (errs < reproj_threshold**2) & valid_mask[None, :]
-    counts = jnp.sum(inliers, axis=1)
+    counts = jnp.where(cand_ok, jnp.sum(inliers, axis=1), -1)
     best = jnp.argmax(counts)
 
     R0, t0 = Rs[best], ts[best]

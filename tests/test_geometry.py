@@ -201,3 +201,64 @@ class TestCameraOps:
         np.testing.assert_allclose(
             np.asarray(coords[0]), np.asarray(coords_grid(5, 7)), atol=1e-3
         )
+
+
+class TestGridSamplePacked:
+    """The packed single-gather kernel must match the 4-gather oracle
+    everywhere (round-2 warp optimization, see ops/warp.py)."""
+
+    def test_patch4_matches_gather4_adversarial(self):
+        from dfvo_tpu.ops.warp import _grid_sample_gather4, _grid_sample_patch4
+
+        rng = np.random.RandomState(3)
+        n, h, w, c = 2, 10, 13, 5
+        src = jnp.array(rng.randn(n, h, w, c).astype(np.float32))
+        # adversarial coords: interior, exact integers, all four borders,
+        # just-outside, far-outside, exact corners
+        special = np.array(
+            [
+                [3.25, 4.75], [5.0, 2.0], [0.0, 0.0], [w - 1.0, h - 1.0],
+                [-0.5, 3.0], [w - 0.5, 3.0], [3.0, -0.5], [3.0, h - 0.5],
+                [-1.0, -1.0], [w + 0.0, h + 0.0], [-7.3, 2.2], [50.0, 50.0],
+                [w - 1.5, h - 1.5], [0.5, 0.5],
+            ],
+            np.float32,
+        )
+        coords = np.tile(special[None, :, None, :], (n, 1, 3, 1))
+        coords += rng.uniform(-0.01, 0.01, coords.shape).astype(np.float32)
+        coords = jnp.array(coords)
+        a = np.asarray(_grid_sample_patch4(src, coords))
+        b = np.asarray(_grid_sample_gather4(src, coords, "zeros"))
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+    def test_patch4_random_dense(self):
+        from dfvo_tpu.ops.warp import _grid_sample_gather4, _grid_sample_patch4
+
+        rng = np.random.RandomState(4)
+        n, h, w, c = 3, 24, 31, 8
+        src = jnp.array(rng.randn(n, h, w, c).astype(np.float32))
+        coords = jnp.array(
+            rng.uniform(-4, max(h, w) + 3, size=(n, 20, 22, 2)).astype(
+                np.float32
+            )
+        )
+        a = np.asarray(_grid_sample_patch4(src, coords))
+        b = np.asarray(_grid_sample_gather4(src, coords, "zeros"))
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+    def test_patch4_gradient_flows(self):
+        """Online finetuning differentiates through warps; the packed
+        kernel's VJP (scatter-add through jnp.take) must be finite."""
+        import jax
+
+        from dfvo_tpu.ops.warp import warp_image_by_flow
+
+        rng = np.random.RandomState(5)
+        img = jnp.array(rng.randn(1, 8, 9, 2).astype(np.float32))
+        flow = jnp.array(0.3 * rng.randn(1, 8, 9, 2).astype(np.float32))
+        g_img, g_flow = jax.grad(
+            lambda i, f: jnp.sum(warp_image_by_flow(i, f) ** 2), argnums=(0, 1)
+        )(img, flow)
+        assert np.isfinite(np.asarray(g_img)).all()
+        assert np.isfinite(np.asarray(g_flow)).all()
+        assert float(jnp.abs(g_img).sum()) > 0
