@@ -6,8 +6,12 @@ reference loops over a 10x10 grid of image cells in Python, running
 numpy argpartition per cell (kp_selection.py:127-173, the hot loop marked in
 SURVEY.md §3.2). Here every method is a single fixed-shape JAX computation:
 
-* cells are a precomputed static index table [n_cells x max_cell_size];
-* per-cell best-n is one batched ``top_k`` over masked scores;
+* cells are materialized as a [n_cells x max_cell_size] view by STATIC
+  slicing (gather_cells_view — cells are axis-aligned rectangles, so no
+  per-pixel gather is needed), with a matching static index table mapping
+  view slots back to flat pixel indices;
+* per-cell best-n is k rounds of masked argmin-extraction over the view
+  (cheaper than top_k's full sort on TPU, same stable selection);
 * outputs are fixed-size [N x 2] keypoint arrays plus validity masks
   (padding slots carry ``valid=False``), so downstream RANSAC never sees a
   dynamic shape.
@@ -27,26 +31,71 @@ import jax.numpy as jnp
 
 
 @functools.lru_cache(maxsize=None)
+def _cell_geometry(h, w, num_row, num_col):
+    """Reference cell bounds (including its off-by-one, see module
+    docstring) plus the padded per-cell view shape."""
+    y_bounds = tuple(
+        (int(h / num_row * r), int(h / num_row * (r + 1)) - 1)
+        for r in range(num_row)
+    )
+    x_bounds = tuple(
+        (int(w / num_col * c), int(w / num_col * (c + 1)) - 1)
+        for c in range(num_col)
+    )
+    hc = max(y1 - y0 for y0, y1 in y_bounds)
+    wc = max(x1 - x0 for x0, x1 in x_bounds)
+    return y_bounds, x_bounds, hc, wc
+
+
+@functools.lru_cache(maxsize=None)
 def cell_index_table(h, w, num_row, num_col):
-    """Static [n_cells x max_cell] table of flat pixel indices per cell,
-    padded with -1. Raster order within each cell (needed by the uniform
-    variant of opt_rigid_flow_kp).
+    """Static [n_cells x (Hc*Wc)] table of flat pixel indices per cell in
+    the *padded view* layout produced by :func:`gather_cells_view`, padded
+    with -1 where a cell is smaller than Hc x Wc. Raster order within each
+    cell (needed by the uniform variant of opt_rigid_flow_kp).
 
     Returns NUMPY (not jnp): the result is lru-cached and may first be
     requested inside a jit trace — a cached jnp constant would be a leaked
     tracer in every later trace."""
-    cells = []
-    for row in range(num_row):
-        for col in range(num_col):
-            y0, y1 = int(h / num_row * row), int(h / num_row * (row + 1)) - 1
-            x0, x1 = int(w / num_col * col), int(w / num_col * (col + 1)) - 1
-            ys, xs = np.mgrid[y0:y1, x0:x1]
-            cells.append((ys * w + xs).ravel())
-    max_len = max(len(c) for c in cells)
-    table = np.full((len(cells), max_len), -1, dtype=np.int32)
-    for i, c in enumerate(cells):
-        table[i, : len(c)] = c
+    y_bounds, x_bounds, hc, wc = _cell_geometry(h, w, num_row, num_col)
+    table = np.full((num_row * num_col, hc * wc), -1, dtype=np.int32)
+    for r, (y0, y1) in enumerate(y_bounds):
+        for c, (x0, x1) in enumerate(x_bounds):
+            ys, xs = np.mgrid[y0 : y0 + hc, x0 : x0 + wc]
+            flat = ys * w + xs
+            valid = (ys < y1) & (xs < x1)
+            cell = np.where(valid, flat, -1)
+            table[r * num_col + c] = cell.ravel()
     return table
+
+
+def gather_cells_view(values2d, h, w, num_row, num_col):
+    """[H x W] map -> [n_cells x (Hc*Wc)] per-cell view by static slicing.
+
+    Replaces the flat index gather (``values[table]``): a gather of ~120k
+    1-element rows cost 0.85 ms/frame on v5e (gathers pay per row — see
+    ops/warp.py), while cells are axis-aligned rectangles whose bounds are
+    static, so 2x(num_row+num_col) static slice/pad/stack ops produce the
+    same view at plain bandwidth. Pad slots hold garbage (neighboring
+    pixels) and MUST be masked by the caller via ``table >= 0`` — the same
+    contract the gather-based view had.
+    """
+    y_bounds, x_bounds, hc, wc = _cell_geometry(h, w, num_row, num_col)
+    rows = []
+    for y0, y1 in y_bounds:
+        sl = values2d[y0 : y0 + hc]
+        if sl.shape[0] < hc:  # bottom cells: pad reads past the image
+            sl = jnp.pad(sl, ((0, hc - sl.shape[0]), (0, 0)))
+        rows.append(sl)
+    stacked = jnp.stack(rows)  # [R, Hc, W]
+    cols = []
+    for x0, x1 in x_bounds:
+        sl = stacked[:, :, x0 : x0 + wc]
+        if sl.shape[2] < wc:
+            sl = jnp.pad(sl, ((0, 0), (0, 0), (0, wc - sl.shape[2])))
+        cols.append(sl)
+    view = jnp.stack(cols, axis=1)  # [R, C, Hc, Wc]
+    return view.reshape(num_row * num_col, hc * wc)
 
 
 class KPSelectionSpec:
@@ -62,10 +111,12 @@ class KPSelectionSpec:
         self.table = cell_index_table(h, w, num_row, num_col)
 
 
-def _gather_cells(values_flat, table):
-    """Gather per-cell values; padding slots (-1) read element 0 and must be
-    masked by the caller via ``table >= 0``."""
-    return values_flat[jnp.clip(table, 0, None)]
+def _gather_cells(spec, values2d):
+    """Per-cell [n_cells x max_cell] view of a [H x W] map; padding slots
+    hold garbage and must be masked by the caller via ``table >= 0``."""
+    return gather_cells_view(
+        values2d, spec.h, spec.w, spec.num_row, spec.num_col
+    )
 
 
 def _grid_xy(table, w):
@@ -147,20 +198,19 @@ def local_bestN(
     """
     table = spec.table
     pad_mask = table >= 0
-    fd_flat = flow_diff.reshape(-1)
-    fd_cells = _gather_cells(fd_flat, table)
+    fd_cells = _gather_cells(spec, flow_diff)
 
     if score_method == "flow":
         score_cells = fd_cells
     elif score_method == "flow_ratio":
-        mag = jnp.linalg.norm(flow, axis=-1).reshape(-1)
-        score_cells = fd_cells / jnp.maximum(_gather_cells(mag, table), 1e-12)
+        mag = jnp.linalg.norm(flow, axis=-1)
+        score_cells = fd_cells / jnp.maximum(_gather_cells(spec, mag), 1e-12)
     else:
         raise ValueError(f"unknown score_method: {score_method}")
 
     valid_cells = (score_cells < thre) & pad_mask
     if depth_diff is not None:
-        dd_cells = _gather_cells(depth_diff.reshape(-1), table)
+        dd_cells = _gather_cells(spec, depth_diff)
         valid_cells &= dd_cells < depth_diff_thre
 
     local_idx, sel_valid = _select_best_per_cell(
@@ -254,8 +304,8 @@ def opt_rigid_flow_kp(
     """
     table = spec.table
     pad_mask = table >= 0
-    fd_cells = _gather_cells(flow_diff.reshape(-1), table)
-    rd_cells = _gather_cells(rigid_flow_diff.reshape(-1), table)
+    fd_cells = _gather_cells(spec, flow_diff)
+    rd_cells = _gather_cells(spec, rigid_flow_diff)
     valid_cells = (rd_cells < rigid_thre) & (fd_cells < opt_thre) & pad_mask
 
     if score_method == "rigid_flow":

@@ -65,23 +65,8 @@ def correlation(f1, f2, max_disp=3, stride=1, use_pallas=None):
             d.platform == "tpu" for d in jax.devices()
         )
     if use_pallas:
-        # VMEM guard: the kernel keeps one haloed item in VMEM (f1 + padded
-        # f2 + out, double-buffered); fall back to XLA when that footprint
-        # approaches the 16 MB budget
-        n, h, w, c = f1.shape
-        hs, ws = -(-h // stride), -(-w // stride)
-        d_ = max_disp
-        itemsize = f1.dtype.itemsize
-        vmem = 2 * itemsize * (
-            hs * ws * c
-            + (hs + 2 * d_) * (ws + 2 * d_) * c
-            + hs * ws * (2 * d_ + 1) ** 2
-        )
-        # conservative: the unrolled displacement loop stacks extra scoped
-        # temporaries on top of the block buffers
-        if vmem > 6 * 1024 * 1024:
-            use_pallas = False
-    if use_pallas:
+        # VMEM sizing (whole-item vs row-banded kernel) is handled inside
+        # correlation_pallas itself (pallas_corr.py)
         from .pallas_corr import correlation_pallas
 
         try:

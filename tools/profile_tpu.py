@@ -84,6 +84,10 @@ def main():
     ap.add_argument("--outdir", default="/tmp/jax_trace")
     ap.add_argument("--chunk", type=int, default=0)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument(
+        "--e-path", action="store_true",
+        help="profile the realistic E-success path (tpu.force_e_path)",
+    )
     args = ap.parse_args()
 
     from dfvo_tpu.utils.cache import enable_compilation_cache
@@ -102,6 +106,8 @@ def main():
     )
     if args.chunk:
         cfg.tpu.scan_chunk = args.chunk
+    if args.e_path:
+        cfg.tpu.force_e_path = True
     h, w = cfg.image.height, cfg.image.width
     chunk = int(cfg.tpu.scan_chunk)
 
