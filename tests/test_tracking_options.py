@@ -270,3 +270,39 @@ class TestValidityMethods:
         tcfg = TrackingConfig.from_cfg(cfg)
         assert tcfg.validity_method == "flow"
         assert tcfg.validity_thre == 5.0
+
+
+class TestForceEPath:
+    def test_e_path_matches_hybrid_when_e_succeeds(self):
+        """tpu.force_e_path drops the PnP branch statically (the bench's
+        realistic-path mode); on a well-conditioned scene where the
+        E-tracker succeeds, the pose must be identical to the hybrid step,
+        and the fallback mode must be constant-motion rather than PnP."""
+        rng = np.random.RandomState(0)
+        depth_ref = smooth_depth(rng)
+        _, T_ref2cur = gt_motion(scale=1.5)
+        flow, depth_cur = synthesize(depth_ref, T_ref2cur)
+        flow_diff = np.zeros((H, W), np.float32)
+        tcfg_e = dataclasses.replace(TCFG, force_e_path=True)
+        out_h = run(TCFG, flow, flow_diff, depth_cur, depth_ref)
+        out_e = run(tcfg_e, flow, flow_diff, depth_cur, depth_ref)
+        assert int(out_h["mode"]) == 1  # essential path taken by both
+        assert int(out_e["mode"]) == 1
+        np.testing.assert_allclose(
+            np.asarray(out_e["pose"]), np.asarray(out_h["pose"]), atol=1e-5
+        )
+
+    def test_e_path_falls_back_to_const_motion(self):
+        """Garbage data (E cannot succeed): force_e_path returns the
+        previous motion with the constant-motion mode."""
+        rng = np.random.RandomState(0)
+        # near-zero flow: the homography explains it, GRIC votes E invalid
+        flow = (rng.rand(H, W, 2).astype(np.float32) - 0.5) * 0.02
+        flow_diff = np.zeros((H, W), np.float32)  # all kp "consistent"
+        depth = smooth_depth(rng)
+        tcfg_e = dataclasses.replace(TCFG, force_e_path=True)
+        out = run(tcfg_e, flow, flow_diff, depth, depth)
+        assert int(out["mode"]) in (0,)  # const-motion, never PnP
+        np.testing.assert_allclose(
+            np.asarray(out["pose"]), np.eye(4), atol=1e-6
+        )
