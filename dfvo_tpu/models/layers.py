@@ -38,6 +38,59 @@ class FrozenBatchNorm(nn.Module):
         return x * inv + (bias - mean.value * inv)
 
 
+class PadOutConv(nn.Module):
+    """nn.Conv drop-in that computes with output channels padded to
+    ``pad_to`` and slices the result back.
+
+    Tiny output-channel convolutions (the flow-delta heads with Cout=2 and
+    the disparity heads with Cout=1) make XLA:TPU pick its
+    batch-in-lanes convolution emitter, which left >95% of the MXU idle
+    and cost ~14 ms/chunk in the round-2 device profile (see
+    /tmp/chunk_step_hlo.txt analysis in CLAUDE.md). Zero-padding the
+    KERNEL's output channels at call time is mathematically identity on
+    the kept channels, keeps the parameter tree identical to nn.Conv
+    (same 'kernel'/'bias' names and logical shapes, so the torch weight
+    converter is untouched), and restores the normal spatial emitter.
+    """
+
+    features: int
+    kernel_size: tuple
+    strides: tuple = (1, 1)
+    padding: object = "VALID"
+    use_bias: bool = True
+    pad_to: int = 8
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (kh, kw, cin, self.features),
+        )
+        pad_c = max(self.pad_to - self.features, 0)
+        kp = jnp.pad(kernel, ((0, 0), (0, 0), (0, 0), (0, pad_c)))
+        pad_cfg = self.padding
+        if isinstance(pad_cfg, str):
+            padding = pad_cfg
+        else:
+            padding = tuple(tuple(p) for p in pad_cfg)
+        y = jax.lax.conv_general_dilated(
+            x,
+            kp.astype(x.dtype),
+            window_strides=self.strides,
+            padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )[..., : self.features]
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,)
+            )
+            y = y + bias.astype(y.dtype)
+        return y
+
+
 class Conv3x3(nn.Module):
     """Reflection-padded 3x3 convolution (ref layers.py:121-136)."""
 
@@ -46,6 +99,8 @@ class Conv3x3(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+        if self.features <= 4:
+            return PadOutConv(self.features, (3, 3), name="conv")(x)
         return nn.Conv(self.features, (3, 3), padding="VALID", name="conv")(x)
 
 

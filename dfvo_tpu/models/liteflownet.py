@@ -35,6 +35,19 @@ def _leaky(x):
 
 def _conv(features, kernel, stride=1, name=None, use_bias=True):
     pad = (kernel - 1) // 2
+    if features <= 4:
+        # flow-delta heads (Cout=2): padded-output conv dodges XLA:TPU's
+        # batch-in-lanes emitter (see models/layers.py:PadOutConv)
+        from .layers import PadOutConv
+
+        return PadOutConv(
+            features,
+            (kernel, kernel),
+            strides=(stride, stride),
+            padding=((pad, pad), (pad, pad)),
+            use_bias=use_bias,
+            name=name,
+        )
     return nn.Conv(
         features,
         (kernel, kernel),
@@ -88,14 +101,33 @@ class _Matching(nn.Module):
             feat2 = _leaky(feat_conv(feat2))
         if flow is not None:
             flow = _DepthwiseDeconv2x(2, name="upflow")(flow)
-            feat2 = warp_image_by_flow(feat2, flow * _FLOW_SCALE[lvl])
         if lvl >= 4:
+            if flow is not None:
+                feat2 = warp_image_by_flow(feat2, flow * _FLOW_SCALE[lvl])
             corr = _leaky(
                 correlation(feat1, feat2, 3, 1, use_pallas=self.use_pallas)
             )
         else:
+            # stride-2 correlation only ever reads the phase-(0,0)
+            # subsample of the warped map (corr(f1,f2,D,2) ==
+            # corr(f1[::2],f2[::2],D,1), see pallas_corr.py), so warp only
+            # those sites: 4x fewer gather rows at the two biggest levels —
+            # bit-identical to warp-then-subsample (pointwise op)
+            if flow is not None:
+                from ..ops.warp import flow_to_coords, grid_sample
+
+                coords = flow_to_coords(flow * _FLOW_SCALE[lvl])[:, ::2, ::2]
+                feat2_sub = grid_sample(feat2, coords)
+            else:
+                feat2_sub = feat2[:, ::2, ::2]
             corr = _leaky(
-                correlation(feat1, feat2, 3, 2, use_pallas=self.use_pallas)
+                correlation(
+                    feat1[:, ::2, ::2],
+                    feat2_sub,
+                    3,
+                    1,
+                    use_pallas=self.use_pallas,
+                )
             )
             corr = _DepthwiseDeconv2x(49, name="upcorr")(corr)
         x = _leaky(_conv(128, 3, name="main_0")(corr))

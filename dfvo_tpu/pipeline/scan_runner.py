@@ -37,6 +37,19 @@ class ScanRunner:
         frontend = self.frontend
         tcfg = self.tcfg
 
+        # the only cross-frame dependencies inside tracking are the
+        # constant-motion fallback pose and the prev_scale seed of the
+        # ITERATIVE scale mode; with simple scale recovery (the default)
+        # every frame's tracking is independent, so it runs as one vmap
+        # (one kernel per op for the whole chunk) followed by an exact,
+        # trivially cheap fix-up scan that substitutes the fallback poses.
+        # The sequential lax.scan (16x the kernel-launch latency — ~1.5
+        # ms/frame of the round-2 device profile) remains only for the
+        # iterative-scale configuration.
+        parallel_tracking = tcfg.scale_method == "simple"
+
+        from .tracking import TRACK_MODE_CONST
+
         @functools.partial(jax.jit, donate_argnums=())
         def chunk_step(variables, imgs_u8, carry, rngs, K, K_inv):
             """imgs_u8: [T x H x W x 3]; carry = (img_ref_u8, depth_ref_raw,
@@ -46,8 +59,8 @@ class ScanRunner:
             Two phases: (1) ALL network inference for the chunk as one
             batch — the nets have no cross-frame dependency, and batching
             amortizes the per-conv dispatch latency that dominates at VO
-            resolutions; (2) a lax.scan over the (cheap) tracking steps,
-            which carry the constant-motion/scale state.
+            resolutions; (2) the tracking steps — vmapped across the chunk
+            when frame-independent (see above), scanned otherwise.
             """
             img_ref_u8, depth_ref0, prev_motion0, prev_scale0 = carry
             all_imgs = (
@@ -62,29 +75,79 @@ class ScanRunner:
                 [depth_ref0[None], fo["depths"][:-1]], axis=0
             )
 
-            def body(carry, x):
-                prev_motion, prev_scale = carry
-                flow_fwd, flow_diff, depth_cur, depth_ref, rng = x
-                tr = tracking_step(
-                    rng,
-                    flow_fwd,
-                    flow_diff,
-                    depth_cur,
-                    depth_ref,
-                    prev_motion,
-                    K,
-                    K_inv,
-                    tcfg,
-                    prev_scale=prev_scale,
-                )
-                new_scale = jnp.where(tr["scale"] > 0, tr["scale"], prev_scale)
-                return (tr["pose"], new_scale), (tr["pose"], tr["mode"])
+            if parallel_tracking:
+                eye = jnp.eye(4, dtype=jnp.float32)
 
-            (last_pose, last_scale), (poses, modes) = jax.lax.scan(
-                body,
-                (prev_motion0, prev_scale0),
-                (fo["flow_fwd"], fo["flow_diff"], fo["depths"], depth_refs, rngs),
-            )
+                def one(rng, flow_fwd, flow_diff, depth_cur, depth_ref):
+                    # dummy prev_motion: CONST-mode frames are substituted
+                    # by the fix-up scan below (mode==CONST <=> the step
+                    # returned its prev_motion argument, in both the hybrid
+                    # and force_e_path variants)
+                    return tracking_step(
+                        rng,
+                        flow_fwd,
+                        flow_diff,
+                        depth_cur,
+                        depth_ref,
+                        eye,
+                        K,
+                        K_inv,
+                        tcfg,
+                        prev_scale=1.0,
+                    )
+
+                tr = jax.vmap(one)(
+                    rngs, fo["flow_fwd"], fo["flow_diff"], fo["depths"],
+                    depth_refs,
+                )
+
+                def fix(carry, x):
+                    prev_pose, prev_scale = carry
+                    pose_i, mode_i, scale_i = x
+                    pose = jnp.where(
+                        mode_i == TRACK_MODE_CONST, prev_pose, pose_i
+                    )
+                    new_scale = jnp.where(scale_i > 0, scale_i, prev_scale)
+                    return (pose, new_scale), (pose, mode_i)
+
+                (last_pose, last_scale), (poses, modes) = jax.lax.scan(
+                    fix,
+                    (prev_motion0, prev_scale0),
+                    (tr["pose"], tr["mode"], tr["scale"]),
+                )
+            else:
+
+                def body(carry, x):
+                    prev_motion, prev_scale = carry
+                    flow_fwd, flow_diff, depth_cur, depth_ref, rng = x
+                    tr = tracking_step(
+                        rng,
+                        flow_fwd,
+                        flow_diff,
+                        depth_cur,
+                        depth_ref,
+                        prev_motion,
+                        K,
+                        K_inv,
+                        tcfg,
+                        prev_scale=prev_scale,
+                    )
+                    new_scale = jnp.where(
+                        tr["scale"] > 0, tr["scale"], prev_scale
+                    )
+                    return (tr["pose"], new_scale), (tr["pose"], tr["mode"])
+
+                (last_pose, last_scale), (poses, modes) = jax.lax.scan(
+                    body,
+                    (prev_motion0, prev_scale0),
+                    (
+                        fo["flow_fwd"],
+                        fo["flow_diff"],
+                        fo["depths"],
+                        depth_refs,
+                        rngs,
+                    ),
+                )
             new_carry = (
                 imgs_u8[-1],
                 fo["depths"][-1],
