@@ -12,6 +12,7 @@ host composition afterwards (SURVEY.md §2.12 "pipelined lax.scan over frame
 pairs").
 """
 
+import dataclasses
 import functools
 
 import numpy as np
@@ -20,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from .frontend import DeepFrontend
-from .tracking import TrackingConfig, tracking_step
+from .tracking import TrackingConfig, pnp_fallback, tracking_step
 
 
 class ScanRunner:
@@ -77,12 +78,24 @@ class ScanRunner:
 
             if parallel_tracking:
                 eye = jnp.eye(4, dtype=jnp.float32)
+                # under vmap a per-frame PnP lax.cond would lower to a
+                # select executing BOTH branches for every lane, so the
+                # vmapped step defers PnP (placeholder pose + need_pnp
+                # flag) and ONE chunk-level cond below runs the batched
+                # fallback only when some frame in the chunk needs it —
+                # all-E-success chunks (the common case on real sequences)
+                # skip the PnP computation entirely
+                tcfg_v = (
+                    tcfg if tcfg.force_e_path
+                    else dataclasses.replace(tcfg, defer_pnp=True)
+                )
 
                 def one(rng, flow_fwd, flow_diff, depth_cur, depth_ref):
                     # dummy prev_motion: CONST-mode frames are substituted
                     # by the fix-up scan below (mode==CONST <=> the step
                     # returned its prev_motion argument, in both the hybrid
-                    # and force_e_path variants)
+                    # and force_e_path variants); PNP-mode frames by the
+                    # chunk-batched fallback
                     return tracking_step(
                         rng,
                         flow_fwd,
@@ -92,7 +105,7 @@ class ScanRunner:
                         eye,
                         K,
                         K_inv,
-                        tcfg,
+                        tcfg_v,
                         prev_scale=1.0,
                     )
 
@@ -100,6 +113,35 @@ class ScanRunner:
                     rngs, fo["flow_fwd"], fo["flow_diff"], fo["depths"],
                     depth_refs,
                 )
+
+                if not tcfg.force_e_path:
+                    need = tr["need_pnp"]
+
+                    def do_pnp(_):
+                        def one_pnp(rng, kr, kc, v, dref, ff, fd, draw):
+                            return pnp_fallback(
+                                rng, kr, kc, v, dref, ff, fd, draw,
+                                K, K_inv, tcfg,
+                            )["T"]
+
+                        return jax.vmap(one_pnp)(
+                            rngs, tr["kp_ref"], tr["kp_cur"], tr["kp_valid"],
+                            tr["depth_ref"], fo["flow_fwd"], fo["flow_diff"],
+                            depth_refs,
+                        )
+
+                    def skip_pnp(_):
+                        return jnp.broadcast_to(
+                            eye, (need.shape[0], 4, 4)
+                        )
+
+                    pnp_T = jax.lax.cond(jnp.any(need), do_pnp, skip_pnp, None)
+                    tr = dict(
+                        tr,
+                        pose=jnp.where(
+                            need[:, None, None], pnp_T, tr["pose"]
+                        ),
+                    )
 
                 def fix(carry, x):
                     prev_pose, prev_scale = carry

@@ -99,6 +99,11 @@ class TrackingConfig:
     # real KITTI the E path dominates, while random benchmark frames force
     # the PnP conditional every frame (2.9 ms/frame in the device profile)
     force_e_path: bool = False
+    # batch mode: skip the per-frame PnP cond and let the chunk runner
+    # substitute one chunk-batched PnP pass under a single lax.cond —
+    # under vmap a per-frame cond lowers to a select that executes BOTH
+    # branches for every lane, so the per-frame cond must not be vmapped
+    defer_pnp: bool = False
 
     @classmethod
     def from_cfg(cls, cfg):
@@ -232,6 +237,65 @@ def _select_keypoints(tcfg, flow_fwd, flow_diff, depth_diff):
         )
         return sampled_kp(kp1, flow_fwd)
     raise ValueError(f"unknown kp method: {tcfg.kp_method}")
+
+
+def pnp_fallback(
+    rng, kp_ref, kp_cur, valid, depth_ref,
+    flow_fwd, flow_diff, depth_ref_raw, K, K_inv, tcfg: TrackingConfig,
+):
+    """The PnP fallback branch (ref dfvo.py:227-250), callable standalone.
+
+    Derives its PRNG keys by the same ``split(rng, 8)`` as ``tracking_step``
+    (keys 5 and 6), so running it deferred — chunk-batched by the scan
+    runner — is bit-identical to the in-step ``lax.cond`` branch.
+    """
+    keys = jax.random.split(rng, 8)
+    out = compute_pose_3d2d(
+        keys[5],
+        kp_ref,
+        kp_cur,
+        valid,
+        depth_ref,
+        K,
+        K_inv,
+        min_depth=tcfg.min_depth,
+        max_depth=tcfg.max_depth,
+        reproj_thre=tcfg.pnp_reproj_thre,
+        repeats=3 if tcfg.pnp_iterative_kp else tcfg.pnp_repeat,
+        num_hypotheses=tcfg.pnp_iter,
+    )
+    if tcfg.pnp_iterative_kp:
+        rigid_spec = KPSelectionSpec(
+            tcfg.height, tcfg.width, tcfg.rigid_rows, tcfg.rigid_cols,
+            tcfg.rigid_num_kp,
+        )
+        rkp = _rigid_flow_kp(
+            rigid_spec, flow_fwd, flow_diff, depth_ref_raw,
+            se3_inverse(out["T"]), K, K_inv, tcfg,
+            tcfg.pnp_iter_score_method,
+        )
+        out2 = compute_pose_3d2d(
+            keys[6],
+            rkp["kp1_best"],
+            rkp["kp2_best"],
+            rkp["valid_best"],
+            depth_ref,
+            K,
+            K_inv,
+            min_depth=tcfg.min_depth,
+            max_depth=tcfg.max_depth,
+            reproj_thre=tcfg.pnp_reproj_thre,
+            repeats=tcfg.pnp_repeat,
+            num_hypotheses=tcfg.pnp_iter,
+        )
+        use2 = out2["ok"]
+        out = {
+            "T": jnp.where(use2, out2["T"], out["T"]),
+            "ok": out["ok"] | out2["ok"],
+            "inliers": jnp.where(use2, out2["inliers"], out["inliers"]),
+            "mask": jnp.where(use2, out2["mask"], out["mask"]),
+        }
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("tcfg",))
@@ -404,49 +468,10 @@ def tracking_step(
 
     # ---- PnP fallback (ref dfvo.py:227-250) -------------------------------
     def run_pnp(_):
-        kp_r, kp_c, v = kp_ref, kp_cur, valid
-        out = compute_pose_3d2d(
-            keys[5],
-            kp_r,
-            kp_c,
-            v,
-            depth_ref,
-            K,
-            K_inv,
-            min_depth=tcfg.min_depth,
-            max_depth=tcfg.max_depth,
-            reproj_thre=tcfg.pnp_reproj_thre,
-            repeats=3 if tcfg.pnp_iterative_kp else tcfg.pnp_repeat,
-            num_hypotheses=tcfg.pnp_iter,
+        return pnp_fallback(
+            rng, kp_ref, kp_cur, valid, depth_ref,
+            flow_fwd, flow_diff, depth_ref_raw, K, K_inv, tcfg,
         )
-        if tcfg.pnp_iterative_kp:
-            rkp = _rigid_flow_kp(
-                rigid_spec, flow_fwd, flow_diff, depth_ref_raw,
-                se3_inverse(out["T"]), K, K_inv, tcfg,
-                tcfg.pnp_iter_score_method,
-            )
-            out2 = compute_pose_3d2d(
-                keys[6],
-                rkp["kp1_best"],
-                rkp["kp2_best"],
-                rkp["valid_best"],
-                depth_ref,
-                K,
-                K_inv,
-                min_depth=tcfg.min_depth,
-                max_depth=tcfg.max_depth,
-                reproj_thre=tcfg.pnp_reproj_thre,
-                repeats=tcfg.pnp_repeat,
-                num_hypotheses=tcfg.pnp_iter,
-            )
-            use2 = out2["ok"]
-            out = {
-                "T": jnp.where(use2, out2["T"], out["T"]),
-                "ok": out["ok"] | out2["ok"],
-                "inliers": jnp.where(use2, out2["inliers"], out["inliers"]),
-                "mask": jnp.where(use2, out2["mask"], out["mask"]),
-            }
-        return out
 
     def skip_pnp(_):
         n = kp_ref.shape[0]
@@ -457,13 +482,19 @@ def tracking_step(
             "mask": jnp.zeros(n, bool),
         }
 
+    need_pnp = kp["good_kp_found"] & (~e_success) & (not tcfg.force_e_path)
     if tcfg.force_e_path:
         # benchmark's realistic-path mode: no PnP branch compiled at all;
         # E failure falls back to constant motion
         pnp_out = skip_pnp(None)
         pnp_out["T"] = prev_motion
+    elif tcfg.defer_pnp:
+        # batch mode: placeholder pose; the chunk runner substitutes the
+        # result of ONE chunk-batched pnp_fallback under a single lax.cond
+        # for frames flagged need_pnp (see scan_runner.py)
+        pnp_out = skip_pnp(None)
+        pnp_out["T"] = prev_motion
     else:
-        need_pnp = kp["good_kp_found"] & (~e_success)
         pnp_out = jax.lax.cond(need_pnp, run_pnp, skip_pnp, None)
 
     pose = jnp.where(e_success, pose_e, pnp_out["T"])
@@ -495,4 +526,7 @@ def tracking_step(
         "fb_flow_mask": kp.get("fb_flow_mask", flow_diff),
         "rigid_flow_diff": rigid_flow_diff,
         "depth_cur": depth_cur,
+        # consumed only by the defer_pnp chunk runner (DCE'd otherwise)
+        "need_pnp": need_pnp,
+        "depth_ref": depth_ref,
     }

@@ -12,6 +12,103 @@ from dfvo_tpu.utils import ConfigLoader
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _per_frame_tracking_reference(runner, variables, frames, K, K_inv, seed=0):
+    """The sequential semantics the scan chunk must reproduce: per-frame
+    tracking_step calls chaining prev_motion/prev_scale on the host —
+    exactly the pre-vmap lax.scan body (scan_runner.py)."""
+    import jax.numpy as jnp
+
+    from dfvo_tpu.pipeline.tracking import tracking_step
+
+    frontend = runner.frontend
+    tcfg = runner.tcfg
+    variables = frontend.prepare_variables(variables)
+    all_imgs = jnp.asarray(frames).astype(jnp.float32) / 255.0
+    fo = frontend.infer_chunk(variables, all_imgs)
+    # fo["depths"][i] = depth of frame i+1; frame 0's depth comes from the
+    # standalone single-frame pass, as the chunk carry does
+    depth0 = runner._init_depth(variables, jnp.asarray(frames[0]))
+    depth_refs = jnp.concatenate(
+        [depth0[None], fo["depths"][:-1]], axis=0
+    )
+    base = jax.random.PRNGKey(seed)
+    prev_motion = jnp.eye(4, dtype=jnp.float32)
+    prev_scale = jnp.asarray(1.0, jnp.float32)
+    poses, modes = [], []
+    for i in range(len(frames) - 1):
+        tr = tracking_step(
+            jax.random.fold_in(base, i + 1),
+            fo["flow_fwd"][i],
+            fo["flow_diff"][i],
+            fo["depths"][i],
+            depth_refs[i],
+            prev_motion,
+            jnp.asarray(K),
+            jnp.asarray(K_inv),
+            tcfg,
+            prev_scale=prev_scale,
+        )
+        prev_motion = tr["pose"]
+        prev_scale = jnp.where(tr["scale"] > 0, tr["scale"], prev_scale)
+        poses.append(np.asarray(tr["pose"]))
+        modes.append(int(tr["mode"]))
+    return np.stack(poses), np.asarray(modes)
+
+
+def test_scan_tracking_matches_sequential_semantics():
+    """The vmapped tracking path (+ chunk-batched deferred PnP + fix-up
+    scan) must produce the same poses as per-frame sequential tracking."""
+    import jax.numpy as jnp
+
+    cfg = ConfigLoader().merge_cfg(
+        [os.path.join(REPO, "options/examples/default_configuration.yml")]
+    )
+    cfg.image.height = 64
+    cfg.image.width = 96
+    cfg.tpu.ransac_hypotheses = 32
+    cfg.tpu.scan_chunk = 6
+    cfg.tpu.dtype = "float32"  # exact comparison
+
+    runner = ScanRunner(cfg)
+    variables = runner.frontend.init_variables(jax.random.PRNGKey(0))
+
+    rng = np.random.RandomState(1)
+    # random frames make the E-validity vote fail -> exercises the
+    # deferred chunk-batched PnP fallback and the CONST fix-up scan
+    frames = rng.randint(0, 255, (7, 64, 96, 3), dtype=np.uint8)
+    K = np.array(
+        [[55.0, 0, 48.0], [0, 123.0, 32.0], [0, 0, 1.0]], np.float32
+    )
+    K_inv = np.linalg.inv(K).astype(np.float32)
+
+    want_poses, want_modes = _per_frame_tracking_reference(
+        runner, variables, frames, K, K_inv
+    )
+
+    variables_p = runner.frontend.prepare_variables(variables)
+    depth0 = runner._init_depth(variables_p, jnp.asarray(frames[0]))
+    carry = (
+        jnp.asarray(frames[0]),
+        depth0,
+        jnp.eye(4, dtype=jnp.float32),
+        jnp.asarray(1.0, jnp.float32),
+    )
+    base = jax.random.PRNGKey(0)
+    rngs = jax.vmap(lambda i: jax.random.fold_in(base, i))(
+        jnp.arange(1, 7)
+    )
+    poses, modes, _ = runner._chunk_step(
+        variables_p, jnp.asarray(frames[1:]), carry, rngs,
+        jnp.asarray(K), jnp.asarray(K_inv),
+    )
+
+    assert np.asarray(modes).tolist() == want_modes.tolist()
+    np.testing.assert_allclose(
+        np.asarray(poses), want_poses, atol=1e-5,
+        err_msg="scan-mode poses diverge from sequential tracking",
+    )
+
+
 def test_scan_runner_matches_per_frame_loop():
     cfg = ConfigLoader().merge_cfg(
         [os.path.join(REPO, "options/examples/default_configuration.yml")]
