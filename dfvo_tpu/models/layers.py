@@ -38,30 +38,32 @@ class FrozenBatchNorm(nn.Module):
         return x * inv + (bias - mean.value * inv)
 
 
-class PadOutConv(nn.Module):
-    """nn.Conv drop-in that computes with output channels padded to
-    ``pad_to`` and slices the result back.
+class HeadConv(nn.Module):
+    """nn.Conv drop-in for tiny-output-channel "head" convolutions
+    (stride 1), backed by the Pallas pixel-packed kernel.
 
-    Tiny output-channel convolutions (the flow-delta heads with Cout=2 and
-    the disparity heads with Cout=1) make XLA:TPU pick its
-    batch-in-lanes convolution emitter, which left >95% of the MXU idle
-    and cost ~14 ms/chunk in the round-2 device profile (see
-    /tmp/chunk_step_hlo.txt analysis in CLAUDE.md). Zero-padding the
-    KERNEL's output channels at call time is mathematically identity on
-    the kept channels, keeps the parameter tree identical to nn.Conv
-    (same 'kernel'/'bias' names and logical shapes, so the torch weight
-    converter is untouched), and restores the normal spatial emitter.
+    XLA:TPU's emitters are pathological for Cout <= 2 heads (the
+    LiteFlowNet flow-delta heads and Monodepth2 disparity heads): the
+    im2col path moves ~3 GB/step of patch data and padding the kernel's
+    output channels gets algebraically simplified back (both measured,
+    /tmp/bench_headconv.py r2). ops/headconv.py packs output PIXELS into
+    the spare MXU lanes instead (~17x device-time on the 7x7x32->2 head).
+    Parameter tree is identical to nn.Conv ('kernel'/'bias', logical
+    shapes), so the torch weight converter is untouched.
+
+    ``padding`` is 'SAME' (zero pad) or 'PREPADDED' (input already padded
+    by (k-1)//2 per side, e.g. reflect-padded Conv3x3 heads).
     """
 
     features: int
     kernel_size: tuple
-    strides: tuple = (1, 1)
-    padding: object = "VALID"
+    padding: str = "SAME"
     use_bias: bool = True
-    pad_to: int = 8
 
     @nn.compact
     def __call__(self, x):
+        from ..ops.headconv import head_conv
+
         kh, kw = self.kernel_size
         cin = x.shape[-1]
         kernel = self.param(
@@ -69,26 +71,14 @@ class PadOutConv(nn.Module):
             nn.initializers.lecun_normal(),
             (kh, kw, cin, self.features),
         )
-        pad_c = max(self.pad_to - self.features, 0)
-        kp = jnp.pad(kernel, ((0, 0), (0, 0), (0, 0), (0, pad_c)))
-        pad_cfg = self.padding
-        if isinstance(pad_cfg, str):
-            padding = pad_cfg
-        else:
-            padding = tuple(tuple(p) for p in pad_cfg)
-        y = jax.lax.conv_general_dilated(
-            x,
-            kp.astype(x.dtype),
-            window_strides=self.strides,
-            padding=padding,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )[..., : self.features]
-        if self.use_bias:
-            bias = self.param(
-                "bias", nn.initializers.zeros, (self.features,)
-            )
-            y = y + bias.astype(y.dtype)
-        return y
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias
+            else None
+        )
+        return head_conv(
+            x, kernel, bias, prepadded=self.padding == "PREPADDED"
+        )
 
 
 class Conv3x3(nn.Module):
@@ -100,7 +90,9 @@ class Conv3x3(nn.Module):
     def __call__(self, x):
         x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
         if self.features <= 4:
-            return PadOutConv(self.features, (3, 3), name="conv")(x)
+            return HeadConv(
+                self.features, (3, 3), padding="PREPADDED", name="conv"
+            )(x)
         return nn.Conv(self.features, (3, 3), padding="VALID", name="conv")(x)
 
 

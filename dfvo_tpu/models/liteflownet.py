@@ -35,16 +35,14 @@ def _leaky(x):
 
 def _conv(features, kernel, stride=1, name=None, use_bias=True):
     pad = (kernel - 1) // 2
-    if features <= 4:
-        # flow-delta heads (Cout=2): padded-output conv dodges XLA:TPU's
-        # batch-in-lanes emitter (see models/layers.py:PadOutConv)
-        from .layers import PadOutConv
+    if features <= 4 and stride == 1:
+        # flow-delta heads (Cout=2) and the 1x1 scale heads: Pallas
+        # pixel-packed kernel (see models/layers.py:HeadConv)
+        from .layers import HeadConv
 
-        return PadOutConv(
+        return HeadConv(
             features,
             (kernel, kernel),
-            strides=(stride, stride),
-            padding=((pad, pad), (pad, pad)),
             use_bias=use_bias,
             name=name,
         )

@@ -101,11 +101,19 @@ def _grid_sample_patch4(src, coords):
         ],
         axis=-1,
     )  # [n, h-1, w-1, 4c]
-    p_flat = patches.reshape(n * (h - 1) * (w - 1), 4 * c)
-    batch_off = (jnp.arange(n, dtype=jnp.int32) * ((h - 1) * (w - 1))).reshape(
+    # flatten the table in [H, W, N, C] order: XLA:TPU convs produce the
+    # {3,0,2,1} layout (physically H, W, N, C), so an NHWC-ordered reshape
+    # forces a ~125 MB materializing copy per warp at LiteFlowNet level 2.
+    # The HWNC transpose+reshape is a layout no-op against conv producers
+    # (measured 2.9 ms/step faster in the conv->warp->conv sandwich,
+    # bit-identical output; /tmp/bench_warp_layout.py r2)
+    p_flat = jnp.transpose(patches, (1, 2, 0, 3)).reshape(
+        (h - 1) * (w - 1) * n, 4 * c
+    )
+    batch_off = jnp.arange(n, dtype=jnp.int32).reshape(
         (n,) + (1,) * (len(out_shape) - 1)
     )
-    idx = (y0c * (w - 1) + x0c + batch_off).reshape(-1)
+    idx = ((y0c * (w - 1) + x0c) * n + batch_off).reshape(-1)
     g = jnp.take(p_flat, idx, axis=0).reshape(out_shape + (4 * c,))
     return (
         g[..., 0 * c : 1 * c] * w00
