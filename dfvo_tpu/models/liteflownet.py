@@ -154,17 +154,23 @@ class _Subpixel(nn.Module):
         return flow + delta
 
 
-def _unfold_channels(x, k):
-    """[N x H x W x 1] -> [N x H x W x k²] zero-padded local patches,
-    (ky-major channel order, matching torch F.unfold)."""
-    p = (k - 1) // 2
-    xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
-    h, w = x.shape[1], x.shape[2]
-    cols = []
-    for ky in range(k):
-        for kx in range(k):
-            cols.append(xp[:, ky : ky + h, kx : kx + w, 0])
-    return jnp.stack(cols, axis=-1)
+class _ConvParams(nn.Module):
+    """Declares nn.Conv-compatible 'kernel'/'bias' parameters (same names
+    and logical shapes, so the torch weight converter is untouched) and
+    returns them raw — for ops consuming the weights directly."""
+
+    in_ch: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (1, 1, self.in_ch, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
 
 
 class _Regularization(nn.Module):
@@ -211,13 +217,15 @@ class _Regularization(nn.Module):
 
         dist = -(dist**2)
         dist = jnp.exp(dist - jnp.max(dist, axis=-1, keepdims=True))
-        divisor = 1.0 / jnp.sum(dist, axis=-1, keepdims=True)
 
-        fx = dist * _unfold_channels(flow[..., 0:1], k)
-        fy = dist * _unfold_channels(flow[..., 1:2], k)
-        sx = _conv(1, 1, name="scale_x")(fx) * divisor
-        sy = _conv(1, 1, name="scale_y")(fy) * divisor
-        return jnp.concatenate([sx, sy], axis=-1)
+        # confidence-weighted local flow filtering as one fused kernel
+        # (ops/regfilter.py) — the unfold materialized two [N,H,W,k²]
+        # tensors per level in XLA
+        from ..ops.regfilter import reg_scale_filter
+
+        wx, bx = _ConvParams(dist_ch, 1, name="scale_x")()
+        wy, by = _ConvParams(dist_ch, 1, name="scale_y")()
+        return reg_scale_filter(dist, flow, wx, bx, wy, by, k)
 
 
 class _Features(nn.Module):

@@ -49,8 +49,21 @@ def grid_sample(src, coords, padding_mode="zeros"):
     Returns:
         (array, [NxH'xW'xC]) sampled values.
     """
-    if padding_mode == "zeros" and src.shape[1] >= 2 and src.shape[2] >= 2:
+    import numpy as _np
+
+    n_out = int(_np.prod(coords.shape[:-1]))
+    n_src = src.shape[0] * src.shape[1] * src.shape[2]
+    if (
+        padding_mode == "zeros"
+        and src.shape[1] >= 2
+        and src.shape[2] >= 2
+        and 2 * n_out > n_src
+    ):
+        # dense sampling: one wide gather from a packed 2x2-patch table
         return _grid_sample_patch4(src, coords)
+    # sparse/subsampled sampling (e.g. the stride-2 correlation warp):
+    # the full-size patch-table build would dominate — use 4 narrow
+    # gathers of only the needed rows instead
     return _grid_sample_gather4(src, coords, padding_mode)
 
 
@@ -167,14 +180,15 @@ def _grid_sample_gather4(src, coords, padding_mode="zeros"):
 
     # gather four corners from the globally flattened array: a flat 1-D
     # jnp.take lowers to a ~2.5x faster TPU gather than batched
-    # take_along_axis (measured at LiteFlowNet level-2 sizes)
-    src_flat = src.reshape(n * h * w, c)
-    batch_off = (
-        jnp.arange(n, dtype=jnp.int32) * (h * w)
-    ).reshape((n,) + (1,) * (len(out_shape) - 1))
+    # take_along_axis (measured at LiteFlowNet level-2 sizes). [H,W,N,C]
+    # table order matches the {3,0,2,1} conv layout (see _grid_sample_patch4)
+    src_flat = jnp.transpose(src, (1, 2, 0, 3)).reshape(h * w * n, c)
+    batch_off = jnp.arange(n, dtype=jnp.int32).reshape(
+        (n,) + (1,) * (len(out_shape) - 1)
+    )
 
     def gather(yi, xi):
-        idx = (yi * w + xi + batch_off).reshape(-1)
+        idx = ((yi * w + xi) * n + batch_off).reshape(-1)
         return jnp.take(src_flat, idx, axis=0).reshape(out_shape + (c,))
 
     v00 = gather(y0c, x0c)
