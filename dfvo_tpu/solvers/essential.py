@@ -99,15 +99,20 @@ def sampson_error(F, p1, p2):
     Returns:
         [N] squared Sampson distances (pixels²).
     """
-    Fx1 = p1 @ F.T
-    Ftx2 = p2 @ F
-    num = jnp.sum(p2 * Fx1, axis=-1) ** 2
-    den = (
-        Fx1[..., 0] ** 2
-        + Fx1[..., 1] ** 2
-        + Ftx2[..., 0] ** 2
-        + Ftx2[..., 1] ** 2
-    )
+    # component arithmetic instead of p1 @ F.T / p2 @ F: dots materialize
+    # [hyps x N x 3] intermediates under the RANSAC vmap (~1 GB/step in
+    # the r2 device profile) because XLA cannot fuse a dot into its
+    # elementwise consumers — written element-wise the whole residual
+    # collapses into the scoring reduction's fusion
+    x1, y1, z1 = p1[..., 0], p1[..., 1], p1[..., 2]
+    x2, y2, z2 = p2[..., 0], p2[..., 1], p2[..., 2]
+    fx0 = F[0, 0] * x1 + F[0, 1] * y1 + F[0, 2] * z1
+    fx1 = F[1, 0] * x1 + F[1, 1] * y1 + F[1, 2] * z1
+    fx2 = F[2, 0] * x1 + F[2, 1] * y1 + F[2, 2] * z1
+    ftx0 = F[0, 0] * x2 + F[1, 0] * y2 + F[2, 0] * z2
+    ftx1 = F[0, 1] * x2 + F[1, 1] * y2 + F[2, 1] * z2
+    num = (x2 * fx0 + y2 * fx1 + z2 * fx2) ** 2
+    den = fx0**2 + fx1**2 + ftx0**2 + ftx1**2
     return num / jnp.maximum(den, 1e-12)
 
 

@@ -84,12 +84,18 @@ def homography_from_sample(p1, p2, weights=None):
 @highp
 def homography_transfer_error(H, p1, p2):
     """Squared forward transfer error ‖p2 - proj(H p1)‖² in pixels
-    (the residual cv2's homography RANSAC thresholds)."""
-    q = p1 @ H.T
-    w = q[..., 2]
-    w = jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
-    proj = q[..., :2] / w[..., None]
-    return jnp.sum((proj - p2[..., :2]) ** 2, axis=-1)
+    (the residual cv2's homography RANSAC thresholds).
+
+    Component arithmetic rather than ``p1 @ H.T``: under the RANSAC vmap
+    the dot materializes a [hyps x N x 3] intermediate XLA cannot fuse
+    into the scoring reduction (see solvers/essential.py:sampson_error).
+    """
+    x1, y1, z1 = p1[..., 0], p1[..., 1], p1[..., 2]
+    qx = H[0, 0] * x1 + H[0, 1] * y1 + H[0, 2] * z1
+    qy = H[1, 0] * x1 + H[1, 1] * y1 + H[1, 2] * z1
+    qw = H[2, 0] * x1 + H[2, 1] * y1 + H[2, 2] * z1
+    qw = jnp.where(jnp.abs(qw) < 1e-12, 1e-12, qw)
+    return (qx / qw - p2[..., 0]) ** 2 + (qy / qw - p2[..., 1]) ** 2
 
 
 @partial(jax.jit, static_argnames=("num_hypotheses",))

@@ -126,12 +126,21 @@ def pnp_from_sample_planar(X, x_norm):
 
 @highp
 def _reproj_err_sq(R, t, X, x_pix, K):
-    """Squared pixel reprojection error; points behind the camera get +inf."""
-    P = X @ R.T + t
-    z = P[:, 2]
+    """Squared pixel reprojection error; points behind the camera get +inf.
+
+    Component arithmetic rather than ``X @ R.T``: under the hypothesis
+    vmap the dots materialize [hyps x N x 3] intermediates XLA cannot
+    fuse into the scoring reduction (see solvers/essential.py:sampson_error).
+    """
+    X0, X1, X2 = X[:, 0], X[:, 1], X[:, 2]
+    px = R[0, 0] * X0 + R[0, 1] * X1 + R[0, 2] * X2 + t[0]
+    py = R[1, 0] * X0 + R[1, 1] * X1 + R[1, 2] * X2 + t[1]
+    z = R[2, 0] * X0 + R[2, 1] * X1 + R[2, 2] * X2 + t[2]
     zs = jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
-    proj = (P / zs[:, None]) @ K.T
-    err = jnp.sum((proj[:, :2] - x_pix) ** 2, axis=-1)
+    # K is upper-triangular pinhole: u = fx·x/z + cx, v = fy·y/z + cy
+    u = K[0, 0] * (px / zs) + K[0, 1] * (py / zs) + K[0, 2]
+    v = K[1, 1] * (py / zs) + K[1, 2]
+    err = (u - x_pix[:, 0]) ** 2 + (v - x_pix[:, 1]) ** 2
     return jnp.where(z > 0, err, jnp.inf)
 
 
