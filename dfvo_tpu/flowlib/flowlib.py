@@ -87,6 +87,26 @@ def flow_to_image(flow):
 
 
 def read_flow(filename):
+    """Read a flow file, dispatching on the extension (ref flowlib.py:32-51):
+
+    * ``.flo``  -> [H x W x 2] Middlebury float flow;
+    * ``.png``  -> [H x W x 3] KITTI flow with the validity mask as channel 2;
+    * ``.pfm``  -> [H x W x 2] (first two channels of the color PFM).
+    """
+    if filename.endswith(".png"):
+        flow, valid = read_kitti_png_flow(filename)
+        return np.concatenate(
+            [flow.astype(np.float32), valid[..., None].astype(np.float32)],
+            axis=-1,
+        )
+    if filename.endswith(".pfm"):
+        return read_pfm_file(filename)[:, :, :2].astype(np.float32)
+    if not filename.endswith(".flo"):
+        raise ValueError(f"invalid flow file format: {filename}")
+    return read_flo_file(filename)
+
+
+def read_flo_file(filename):
     """Read a Middlebury .flo file -> [H x W x 2] (ref flowlib.py:397-426)."""
     with open(filename, "rb") as f:
         tag = np.fromfile(f, np.float32, count=1)[0]
@@ -134,6 +154,75 @@ def read_kitti_png_flow(filename):
     flow[..., 0] = (raw[..., 2].astype(np.float64) - 2**15) / 64.0
     flow[..., 1] = (raw[..., 1].astype(np.float64) - 2**15) / 64.0
     return flow, raw[..., 0].astype(bool)
+
+
+def read_pfm_file(filename):
+    """Read a PFM image (ref flowlib.py:454-491): 'PF' = 3-channel color,
+    'Pf' = single channel; a negative scale line marks little-endian data;
+    rows are stored bottom-up, so the result is flipped vertically.
+
+    Returns:
+        [H x W x 3] (color) or [H x W] (grayscale) float array.
+    """
+    with open(filename, "rb") as f:
+        header = f.readline().rstrip().decode("ascii")
+        if header == "PF":
+            channels = 3
+        elif header == "Pf":
+            channels = 1
+        else:
+            raise ValueError(f"not a PFM file: {filename}")
+        dims = f.readline().decode("ascii").split()
+        if len(dims) != 2:
+            raise ValueError(f"malformed PFM header: {filename}")
+        w, h = int(dims[0]), int(dims[1])
+        scale = float(f.readline().decode("ascii").rstrip())
+        endian = "<" if scale < 0 else ">"
+        data = np.fromfile(f, endian + "f")
+    shape = (h, w, 3) if channels == 3 else (h, w)
+    return np.flipud(data.reshape(shape))
+
+
+def write_pfm_file(data, filename, scale=1.0):
+    """Write a PFM image (inverse of read_pfm_file; always little-endian)."""
+    data = np.asarray(data, np.float32)
+    if data.ndim == 3 and data.shape[2] == 3:
+        header = b"PF"
+    elif data.ndim == 2 or (data.ndim == 3 and data.shape[2] == 1):
+        header = b"Pf"
+        data = data.reshape(data.shape[0], data.shape[1])
+    else:
+        raise ValueError(f"PFM needs HxW or HxWx3 data, got {data.shape}")
+    with open(filename, "wb") as f:
+        f.write(header + b"\n")
+        f.write(f"{data.shape[1]} {data.shape[0]}\n".encode("ascii"))
+        f.write(f"{-abs(scale)}\n".encode("ascii"))
+        np.flipud(data).astype("<f4").tofile(f)
+
+
+def read_disp(filename):
+    """Read a disparity file -> [H x W x 1 or 2] (ref flowlib.py:268-280):
+    ``.pfm`` gives negated disparity with no mask channel; KITTI ``.png``
+    gives disparity/256 with a (disp > 0) validity channel."""
+    if filename.endswith(".pfm"):
+        return np.expand_dims(-read_pfm_file(filename), axis=-1)
+    if filename.endswith(".png"):
+        import cv2
+
+        raw = cv2.imread(filename, -1)
+        mask = np.float32(raw > 0)
+        return np.stack([np.float32(raw) / 256.0, mask], axis=-1)
+    raise ValueError(f"invalid disp file format: {filename}")
+
+
+def disp2flow(disp):
+    """Disparity [H x W x 1(+mask)] -> flow [H x W x 2(+mask)] with u = -disp
+    and v = 0 (ref flowlib.py:283-288)."""
+    zeros = np.zeros(disp.shape[:2], np.float32)
+    flow = np.stack([-disp[:, :, 0], zeros], axis=-1)
+    if disp.shape[2] > 1:
+        flow = np.append(flow, disp[:, :, 1:], axis=-1)
+    return flow
 
 
 def flow_error(tu, tv, u, v, mask=None):
