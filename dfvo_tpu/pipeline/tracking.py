@@ -104,6 +104,10 @@ class TrackingConfig:
     # under vmap a per-frame cond lowers to a select that executes BOTH
     # branches for every lane, so the per-frame cond must not be vmapped
     defer_pnp: bool = False
+    # compute the pose-induced rigid-flow-diff map (drawer tile). Static so
+    # drawer-off per-frame runs don't pay the extra full-res reprojection
+    # (scan mode DCEs the dropped output either way).
+    want_rigid_flow_diff: bool = True
 
     @classmethod
     def from_cfg(cls, cfg):
@@ -121,6 +125,7 @@ class TrackingConfig:
             num_kp = kp_cfg.sampled_kp.num_kp
         else:
             raise ValueError("no keypoint selection method enabled")
+        cls._check_kp_src(cfg, kp_method)
         return cls(
             height=cfg.image.height,
             width=cfg.image.width,
@@ -160,7 +165,47 @@ class TrackingConfig:
             pnp_iter_score_method=cfg.pnp_tracker.iterative_kp.score_method,
             num_hypotheses=cfg.tpu.ransac_hypotheses,
             force_e_path=bool(cfg.tpu.get("force_e_path", False)),
+            want_rigid_flow_diff=bool(
+                cfg.visualization.enable
+                and cfg.visualization.flow.vis_rigid_diff
+            ),
         )
+
+    @staticmethod
+    def _check_kp_src(cfg, kp_method):
+        """Validate the per-stage ``kp_src`` indirection against the folded
+        keypoint routing (ref default_configuration.yml:139-178, consumed at
+        dfvo.py:168-170,230-241 and E_tracker.py:495-500).
+
+        The reference populates ``kp_best`` when local_bestN/bestN is the
+        enabled selector and ``kp_list`` when sampled_kp is
+        (keypoint_sampler.py:153-163), and every stage reads the set named by
+        its ``kp_src``. This build folds the routing statically: the enabled
+        selector's output feeds all stages, and iterative refinements always
+        use the rigid-flow set (``kp_depth``). Consistent configs — including
+        the ref's uniform ablation spelled ``kp_src: kp_list`` — pass through;
+        a per-stage mix the folded design cannot express raises instead of
+        being silently ignored.
+        """
+        primary = "kp_list" if kp_method == "sampled" else "kp_best"
+        for stage in ("e_tracker", "scale_recovery", "pnp_tracker"):
+            stage_cfg = cfg.get(stage) or {}
+            src = stage_cfg.get("kp_src") or primary
+            if src != primary:
+                raise ValueError(
+                    f"{stage}.kp_src: {src!r} is not supported with the "
+                    f"{kp_method!r} keypoint selector (which provides "
+                    f"{primary!r}); per-stage kp_src mixing is folded "
+                    "statically in this build"
+                )
+            it_cfg = stage_cfg.get("iterative_kp") or {}
+            it_src = it_cfg.get("kp_src") or "kp_depth"
+            if it_cfg.get("enable") and it_src != "kp_depth":
+                raise ValueError(
+                    f"{stage}.iterative_kp.kp_src: {it_src!r} is not "
+                    "supported; iterative refinement uses the rigid-flow "
+                    "keypoints ('kp_depth')"
+                )
 
 
 def preprocess_depth_device(depth, crop, depth_range):
@@ -507,12 +552,16 @@ def tracking_step(
     )
 
     # pose-induced rigid flow diff map (visualization parity with the
-    # reference's rigid_flow_mask tile, frame_drawer.py:498-512): negligible
-    # compute (one reprojection of the reference depth by the final pose)
-    rflow_final = rigid_flow(
-        depth_ref_raw[None], se3_inverse(pose)[None], K, K_inv
-    )[0]
-    rigid_flow_diff = jnp.linalg.norm(rflow_final - flow_fwd, axis=-1)
+    # reference's rigid_flow_mask tile, frame_drawer.py:498-512): a full-res
+    # reprojection of the reference depth, so only computed when the drawer
+    # will consume it (static flag; scan mode DCEs the output either way)
+    if tcfg.want_rigid_flow_diff:
+        rflow_final = rigid_flow(
+            depth_ref_raw[None], se3_inverse(pose)[None], K, K_inv
+        )[0]
+        rigid_flow_diff = jnp.linalg.norm(rflow_final - flow_fwd, axis=-1)
+    else:
+        rigid_flow_diff = jnp.zeros_like(flow_diff)
 
     return {
         "pose": pose,

@@ -306,3 +306,49 @@ class TestForceEPath:
         np.testing.assert_allclose(
             np.asarray(out["pose"]), np.eye(4), atol=1e-6
         )
+
+
+class TestKpSrcConfig:
+    """The per-stage ``kp_src`` indirection (ref default_configuration.yml:
+    139-178) is validated against the folded routing instead of being
+    silently ignored."""
+
+    def _cfg(self, *paths):
+        import os
+
+        from dfvo_tpu.utils import ConfigLoader
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        return ConfigLoader().merge_cfg(
+            [os.path.join(repo, "options/examples", p) for p in paths]
+        )
+
+    def test_default_and_uniform_spellings_accepted(self):
+        cfg = self._cfg("default_configuration.yml")
+        assert TrackingConfig.from_cfg(cfg).kp_method == "local_bestN"
+        # the ref's uniform ablation spells kp_src: kp_list everywhere
+        cfg = self._cfg(
+            "default_configuration.yml", "ablation_correspondences_uniform.yml"
+        )
+        assert TrackingConfig.from_cfg(cfg).kp_method == "sampled"
+
+    def test_mismatched_kp_src_raises(self):
+        import pytest
+
+        cfg = self._cfg("default_configuration.yml")
+        cfg.pnp_tracker.kp_src = "kp_list"  # local_bestN provides kp_best
+        with pytest.raises(ValueError, match="pnp_tracker.kp_src"):
+            TrackingConfig.from_cfg(cfg)
+        cfg = self._cfg("default_configuration.yml")
+        cfg.e_tracker.kp_src = "kp_depth"
+        with pytest.raises(ValueError, match="e_tracker.kp_src"):
+            TrackingConfig.from_cfg(cfg)
+
+    def test_unsupported_iterative_kp_src_raises(self):
+        import pytest
+
+        cfg = self._cfg("default_configuration.yml")
+        cfg.e_tracker.iterative_kp.enable = True
+        cfg.e_tracker.iterative_kp.kp_src = "kp_best"
+        with pytest.raises(ValueError, match="iterative_kp.kp_src"):
+            TrackingConfig.from_cfg(cfg)
