@@ -138,15 +138,19 @@ def _pallas_corr_rowchunk(f1, f2, max_disp, band):
     return out[:, :h] if hp != h else out
 
 
-def _rowchunk_band(h, w, c, k_total, itemsize, budget=6 * 1024 * 1024):
+def _rowchunk_band(h, w, c, k_total, itemsize, max_disp,
+                   budget=6 * 1024 * 1024):
     """Largest row-band (divisor-friendly) whose double-buffered footprint
     fits the VMEM budget; None if even a minimal band does not fit."""
     for band in (32, 24, 16, 12, 8, 4, 2, 1):
         if band > h:
             continue
-        halo = band + 8  # 2*max_disp upper bound (D<=4 in this framework)
+        # actual scratch in _pallas_corr_rowchunk: (band+2d, w+2d, c)
+        halo = band + 2 * max_disp
         vmem = 2 * itemsize * (
-            band * w * c + halo * (w + 8) * c + band * w * k_total
+            band * w * c
+            + halo * (w + 2 * max_disp) * c
+            + band * w * k_total
         )
         if vmem <= budget:
             return band
@@ -174,7 +178,7 @@ def correlation_pallas(f1, f2, max_disp=3, stride=1):
     )
     if whole <= 6 * 1024 * 1024:
         return _pallas_corr_stride1(f1, f2, max_disp)
-    band = _rowchunk_band(h, w, c, k_total, itemsize)
+    band = _rowchunk_band(h, w, c, k_total, itemsize, d)
     if band is None:
         from .correlation import correlation_xla
 

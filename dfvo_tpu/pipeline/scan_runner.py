@@ -62,6 +62,13 @@ class ScanRunner:
             amortizes the per-conv dispatch latency that dominates at VO
             resolutions; (2) the tracking steps — vmapped across the chunk
             when frame-independent (see above), scanned otherwise.
+
+            Deferred-PnP caveat: for frames where ``need_pnp`` fired, only
+            ``pose`` and ``mode`` are patched with the chunk-batched
+            fallback result; the step's other per-frame diagnostics
+            (rigid_flow_diff, inliers, kp data) still reflect the identity
+            placeholder pose. Batch mode surfaces only poses/modes — do not
+            consume the rest of ``tr`` for deferred-PnP frames.
             """
             img_ref_u8, depth_ref0, prev_motion0, prev_scale0 = carry
             all_imgs = (
