@@ -40,6 +40,24 @@ class OnlineFinetuner:
         self.num_frames = self.ft_cfg.num_frames
         self.train_flow = bool(self.ft_cfg.flow.enable)
         self.train_depth = bool(self.ft_cfg.depth.enable)
+        # depth-loss pose source (ref deep_models.py:257-266): the DF-VO
+        # pose rescaled to network units, the pose CNN's raw prediction, or
+        # the DF-VO direction carrying the pose CNN's scale
+        self.pose_src = self.ft_cfg.depth.get("pose_src") or "DF-VO"
+        if self.pose_src not in ("DF-VO", "deep_pose", "DF-VO2"):
+            raise ValueError(
+                f"online_finetune.depth.pose_src: {self.pose_src!r} not in "
+                "['DF-VO', 'deep_pose', 'DF-VO2']"
+            )
+        if (
+            self.train_depth
+            and self.pose_src != "DF-VO"
+            and not getattr(frontend, "use_pose_net", False)
+        ):
+            raise ValueError(
+                f"pose_src {self.pose_src!r} needs the pose CNN "
+                "(deep_pose.enable: True)"
+            )
         if self.train_flow and getattr(frontend, "flow_kind", "liteflow") != "liteflow":
             raise NotImplementedError(
                 "online flow finetuning supports the LiteFlowNet path "
@@ -141,12 +159,31 @@ class OnlineFinetuner:
         if self.train_depth:
             depth_vars = dict(variables["depth"])
             depth_vars["params"] = trainable["depth"]
-            # DF-VO pose: metric translation back to network scale
-            poses = poses.at[:, :3, 3].divide(
-                self.frontend.depth_net.baseline_multiplier
-            )
+            poses = self._depth_pose(variables, img_ref, img_cur, poses)
             loss = loss + self.depth_loss(depth_vars, img_ref, img_cur, poses)
         return loss
+
+    def _depth_pose(self, variables, img_ref, img_cur, poses):
+        """Pose fed to the depth loss, per ``depth.pose_src``
+        (ref deep_models.py:257-266)."""
+        if self.pose_src == "DF-VO":
+            # DF-VO pose: metric translation back to network scale
+            return poses.at[:, :3, 3].divide(
+                self.frontend.depth_net.baseline_multiplier
+            )
+        pair = jnp.concatenate([img_ref, img_cur], axis=-1)
+        deep = self.frontend.pose_net.apply(variables["pose"], pair).astype(
+            poses.dtype
+        )
+        if self.pose_src == "deep_pose":
+            return deep
+        # DF-VO2: DF-VO translation direction x pose-CNN scale
+        deep_scale = jnp.linalg.norm(deep[:, :3, 3], axis=-1, keepdims=True)
+        t = poses[:, :3, 3]
+        t_unit = t / jnp.maximum(
+            jnp.linalg.norm(t, axis=-1, keepdims=True), 1e-12
+        )
+        return poses.at[:, :3, 3].set(t_unit * deep_scale)
 
     # -- update -------------------------------------------------------------
     def make_update_fn(self, axis_name=None):

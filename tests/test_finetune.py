@@ -60,3 +60,70 @@ def test_online_finetune_updates_flow_weights(synthetic_kitti, tmp_path):
     assert vo.finetune_cnt == 2  # num_frames cutoff respected
     # finetuned model checkpoint written
     assert os.path.isdir(tmp_path / "result" / "finetuned_model")
+
+
+class TestPoseSrc:
+    """The three depth-loss pose sources (ref deep_models.py:257-266)."""
+
+    def _finetuner(self, pose_src, enable_pose_net=True):
+        import jax.numpy as jnp
+
+        from dfvo_tpu.pipeline.finetune import OnlineFinetuner
+        from dfvo_tpu.pipeline.frontend import DeepFrontend
+
+        cfg = ConfigLoader().merge_cfg(
+            [os.path.join(REPO, "options/examples/default_configuration.yml")]
+        )
+        cfg.image.height = 64
+        cfg.image.width = 96
+        cfg.deep_pose.enable = enable_pose_net
+        cfg.online_finetune.enable = True
+        cfg.online_finetune.flow.enable = False
+        cfg.online_finetune.depth.enable = True
+        cfg.online_finetune.depth.pose_src = pose_src
+        frontend = DeepFrontend(cfg)
+        variables = frontend.init_variables(jax.random.PRNGKey(0))
+        return OnlineFinetuner(frontend, cfg), frontend, variables, jnp
+
+    def test_three_sources_produce_documented_poses(self):
+        ft, frontend, variables, jnp = self._finetuner("DF-VO")
+        rng = np.random.RandomState(0)
+        img_ref = jnp.asarray(rng.rand(1, 64, 96, 3).astype(np.float32))
+        img_cur = jnp.asarray(rng.rand(1, 64, 96, 3).astype(np.float32))
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, 3] = [0.3, -0.1, 2.0]
+        poses = jnp.asarray(pose[None])
+
+        out = np.asarray(ft._depth_pose(variables, img_ref, img_cur, poses))
+        np.testing.assert_allclose(
+            out[0, :3, 3], pose[:3, 3] / 5.4, rtol=1e-6
+        )
+        np.testing.assert_allclose(out[0, :3, :3], pose[:3, :3])
+
+        deep = np.asarray(
+            frontend.pose_net.apply(
+                variables["pose"], jnp.concatenate([img_ref, img_cur], axis=-1)
+            )
+        )
+        ft2, _, _, _ = self._finetuner("deep_pose")
+        out2 = np.asarray(ft2._depth_pose(variables, img_ref, img_cur, poses))
+        np.testing.assert_allclose(out2, deep, atol=1e-6)
+
+        ft3, _, _, _ = self._finetuner("DF-VO2")
+        out3 = np.asarray(ft3._depth_pose(variables, img_ref, img_cur, poses))
+        np.testing.assert_allclose(out3[0, :3, :3], pose[:3, :3])
+        t = out3[0, :3, 3]
+        # direction = DF-VO direction, magnitude = deep-pose magnitude
+        np.testing.assert_allclose(
+            t / np.linalg.norm(t), pose[:3, 3] / np.linalg.norm(pose[:3, 3]),
+            atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.linalg.norm(t), np.linalg.norm(deep[0, :3, 3]), rtol=1e-5
+        )
+
+    def test_invalid_or_unavailable_pose_src_raises(self):
+        with pytest.raises(ValueError, match="pose_src"):
+            self._finetuner("bogus")
+        with pytest.raises(ValueError, match="pose CNN"):
+            self._finetuner("deep_pose", enable_pose_net=False)
