@@ -50,11 +50,11 @@ def pnp_from_sample(X, x_norm, weights=None):
         A = A * w[:, None]
     # nullspace via shift-inverted power iteration; rotation via Newton
     # polar (see solvers/linalg.py — no batched SVD/eigh)
-    from .linalg import nearest_rotation, nullspace_vector
+    from .linalg import det3, nearest_rotation, nullspace_vector
 
     M = nullspace_vector(A, iters=6).reshape(3, 4)
     # fix the projective scale sign so det(M[:, :3]) > 0 (proper rotation)
-    M = M * jnp.sign(jnp.linalg.det(M[:, :3]))
+    M = M * jnp.sign(det3(M[:, :3]))
     R, scale = nearest_rotation(M[:, :3])
     t = M[:, 3] / jnp.maximum(scale, 1e-12)
     return R, t
