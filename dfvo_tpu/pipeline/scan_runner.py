@@ -52,10 +52,20 @@ class ScanRunner:
         from .tracking import TRACK_MODE_CONST
 
         @functools.partial(jax.jit, donate_argnums=())
-        def chunk_step(variables, imgs_u8, carry, rngs, K, K_inv):
+        def chunk_step(variables, imgs_u8, carry, rngs, K, K_inv, oracle=None):
             """imgs_u8: [T x H x W x 3]; carry = (img_ref_u8, depth_ref_raw,
             prev_motion, prev_scale). Returns ([T x 4 x 4] relative poses,
             [T] modes, new carry).
+
+            ``oracle`` (optional): dict of ``depths``/``flow_fwd``/
+            ``flow_diff`` arrays shaped like ``infer_chunk``'s outputs.
+            When given, tracking consumes ``oracle + net * 1e-30`` — the
+            networks still execute in full (nothing is dead-code-
+            eliminable), but the decision tree sees coherent data. This is
+            how the benchmark measures the realistic E-success program
+            *dynamically* (untrained weights can never pass the E-validity
+            vote on their own) and how synthetic-sequence tests drive the
+            batch pipeline with known ground truth.
 
             Two phases: (1) ALL network inference for the chunk as one
             batch — the nets have no cross-frame dependency, and batching
@@ -78,6 +88,15 @@ class ScanRunner:
                 / 255.0
             )
             fo = frontend.infer_chunk(variables, all_imgs)
+            if oracle is not None:
+                eps = jnp.float32(1e-30)
+                fo = dict(
+                    fo,
+                    **{
+                        k: oracle[k].astype(jnp.float32) + fo[k] * eps
+                        for k in ("depths", "flow_fwd", "flow_diff")
+                    },
+                )
             # reference depth of pair i = depth of frame i
             depth_refs = jnp.concatenate(
                 [depth_ref0[None], fo["depths"][:-1]], axis=0

@@ -101,3 +101,91 @@ def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as graft
 
     graft.dryrun_multichip(8)
+
+
+# ---------------------------------------------------------------------------
+# multi-sequence CLI end to end (mirrors test_pipeline's single-seq CLI
+# test): synthetic KITTI-layout sequences -> apis/run_multiseq.py on the
+# virtual 8-device mesh -> per-sequence trajectory files -> eval tool
+# ---------------------------------------------------------------------------
+def test_multiseq_cli_end_to_end(tmp_path):
+    import os
+    import sys
+
+    cv2 = pytest.importorskip("cv2")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    seqs = ["00", "01", "02"]
+    n_frames = 5
+    root = tmp_path / "kitti"
+    gt_dir = root / "gt_poses"
+    gt_dir.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    big = (rng.rand(500, 1500, 3) * 255).astype(np.uint8)
+    big = cv2.GaussianBlur(big, (0, 0), 3)
+    for s_i, s in enumerate(seqs):
+        img_dir = root / "odom_data" / s / "image_2"
+        img_dir.mkdir(parents=True)
+        lines = []
+        for i in range(n_frames):
+            crop = big[
+                50 + 5 * s_i : 50 + 5 * s_i + 370, 10 * i : 10 * i + 1226
+            ]
+            cv2.imwrite(str(img_dir / f"{i:06d}.jpg"), crop)
+            P = np.eye(4)
+            P[0, 3] = 0.1 * i
+            lines.append(" ".join(str(v) for v in P.flatten()[:12]))
+        (gt_dir / f"{s}.txt").write_text("\n".join(lines) + "\n")
+        (root / "odom_data" / s / "calib.txt").write_text(
+            "\n".join(
+                f"P{j}: 707.09 0.0 601.88 0.0 0.0 707.09 183.11 0.0 "
+                "0.0 0.0 1.0 0.0"
+                for j in range(4)
+            )
+            + "\n"
+        )
+
+    custom = tmp_path / "custom.yml"
+    custom.write_text(
+        "image:\n"
+        "    height: 64\n"
+        "    width: 96\n"
+        "directory:\n"
+        f"    img_seq_dir: {root / 'odom_data'}\n"
+        f"    gt_pose_dir: {gt_dir}\n"
+        f"    result_dir: {tmp_path / 'result'}\n"
+        "tpu:\n"
+        "    ransac_hypotheses: 32\n"
+    )
+
+    import runpy
+
+    argv = sys.argv
+    sys.argv = [
+        "run_multiseq.py",
+        "-d", os.path.join(repo, "options/examples/default_configuration.yml"),
+        "-c", str(custom),
+        "--seqs", *seqs,
+    ]
+    try:
+        runpy.run_path(
+            os.path.join(repo, "apis/run_multiseq.py"), run_name="__main__"
+        )
+    finally:
+        sys.argv = argv
+
+    from dfvo_tpu.evaluation.kitti_odometry import KittiEvalOdom
+    from dfvo_tpu.utils.io import load_poses_from_txt
+
+    for s in seqs:
+        traj = tmp_path / "result" / f"{s}.txt"
+        assert traj.exists(), f"missing trajectory for seq {s}"
+        poses = load_poses_from_txt(str(traj))
+        assert len(poses) == n_frames
+        assert all(np.isfinite(p).all() for p in poses.values())
+
+    evaluator = KittiEvalOdom()
+    summary = evaluator.eval(
+        str(gt_dir), str(tmp_path / "result"), alignment="6dof", seqs=seqs
+    )
+    assert (tmp_path / "result" / "result.txt").exists()

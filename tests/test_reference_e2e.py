@@ -151,6 +151,36 @@ def _install_shims():
         )
         sys.modules["cupy"] = cupy
 
+    # the rigid-flow keypoint path moves its RigidFlow layer and tensors
+    # to CUDA unconditionally (E_tracker.py:147-149,676-677,
+    # pnp_tracker.py:41-43); this torch build is CPU-only, and the layer
+    # is pure torch ops, so .cuda() -> identity is an exact patch
+    if not torch.cuda.is_available() and not getattr(
+        torch, "_dfvo_cpu_cuda_shim", False
+    ):
+        torch.Tensor.cuda = lambda self, *a, **k: self
+        torch.nn.Module.cuda = lambda self, *a, **k: self
+        torch._dfvo_cpu_cuda_shim = True
+
+    # RigidFlow pins itself to torch.device('cuda') in __init__
+    # (rigid_flow.py:30-34); run it on CPU instead — the layer is pure
+    # torch ops, so this changes nothing numerically
+    import libs.geometry.rigid_flow as _rf
+
+    if not getattr(_rf, "_dfvo_cpu_patch", False):
+        _orig_rf_init = _rf.RigidFlow.__init__
+
+        def _cpu_rf_init(self, height, width):
+            orig_device = torch.device
+            torch.device = lambda *a, **k: orig_device("cpu")
+            try:
+                _orig_rf_init(self, height, width)
+            finally:
+                torch.device = orig_device
+
+        _rf.RigidFlow.__init__ = _cpu_rf_init
+        _rf._dfvo_cpu_patch = True
+
     # the reference correlation modules touch torch.cuda at import time
     # (correlation.py:7-8 `torch.cuda.current_stream()`); the stubbed
     # inference path never calls them
@@ -166,96 +196,35 @@ def _install_shims():
 
 
 # ---------------------------------------------------------------------------
-# oracle sequence generation (pure numpy)
+# oracle sequence generation — shared package generator (dfvo_tpu/synth):
+# the same geometrically consistent depth/flow chains drive bench.py's
+# coherent-motion mode and the multi-sequence CLI tests
 # ---------------------------------------------------------------------------
-def _smooth_depth(rng, lo=6.0, hi=40.0):
-    coarse = rng.rand(6, 20).astype(np.float64)
-    field = cv2.resize(coarse, (W, H), interpolation=cv2.INTER_CUBIC)
-    field = (field - field.min()) / (field.max() - field.min())
-    return lo + field * (hi - lo)
-
-
-def _fill_holes(depth):
-    """Fill zero pixels with the local neighbourhood max (iterated)."""
-    d = depth.copy()
-    for _ in range(12):
-        holes = d <= 0
-        if not holes.any():
-            break
-        dil = cv2.dilate(d, np.ones((3, 3)))
-        d[holes] = dil[holes]
-    if (d <= 0).any():
-        d[d <= 0] = np.median(d[d > 0])
-    return d
-
-
-def _motions(n):
-    """Per-pair ground-truth motions T_cur2ref (cur -> ref), forward
-    dominant with curvature and speed variation."""
-    from scipy.spatial.transform import Rotation  # scipy is available
-
-    out = []
-    for i in range(n):
-        speed = 1.0 + 0.3 * np.sin(i / 3.0)
-        yaw = 0.004 * np.sin(i / 5.0)
-        pitch = 0.002 * np.cos(i / 7.0)
-        R = Rotation.from_euler("yxz", [yaw, pitch, 0.0]).as_matrix()
-        t = np.array([0.05 * np.sin(i / 4.0), -0.02, speed])
-        T = np.eye(4)
-        T[:3, :3] = R
-        T[:3, 3] = t
-        out.append(T)
-    return out
+from dfvo_tpu.synth import (  # noqa: E402
+    chain_motions as chain,
+    corrupt_flow,
+    make_oracle_sequence as _make_seq,
+    structured_flow_diff,
+)
 
 
 def make_oracle_sequence(seed=0):
-    """Returns (depths [N][HxW], flows [N-1][HxWx2], motions [N-1][4x4])."""
+    """(depths [N][HxW], flows [N-1][HxWx2], motions [N-1][4x4]) at the
+    module's H x W x K."""
+    return _make_seq(H, W, K, N_FRAMES, seed=seed)
+
+
+def make_structured_diffs(flows, seed=1, n_bad=3):
+    """Per-pair structured flow_diff maps + flows corrupted inside the
+    high-diff regions (ref kp_selection.py:74-179: local_bestN must
+    reject them via the flow-consistency threshold)."""
     rng = np.random.RandomState(seed)
-    motions = _motions(N_FRAMES - 1)
-
-    ys, xs = np.mgrid[0:H, 0:W]
-    pix_h = np.stack([xs, ys, np.ones_like(xs)], -1).astype(np.float64)
-    rays = pix_h @ K_inv.T  # [H x W x 3]
-
-    depths = [_smooth_depth(rng)]
-    flows = []
-    for i in range(N_FRAMES - 1):
-        T_ref2cur = np.linalg.inv(motions[i])
-        pts_ref = rays * depths[i][..., None]
-        pts_cur = pts_ref @ T_ref2cur[:3, :3].T + T_ref2cur[:3, 3]
-        uv = pts_cur @ K.T
-        z = uv[..., 2]
-        pix = uv[..., :2] / np.maximum(z[..., None], 1e-9)
-        flow = pix - np.stack([xs, ys], -1)
-        flows.append(flow.astype(np.float32))
-
-        # render the next depth: scatter z into the new view, fill holes
-        px = np.round(pix[..., 0]).astype(int)
-        py = np.round(pix[..., 1]).astype(int)
-        ok = (px >= 0) & (px < W) & (py >= 0) & (py < H) & (z > 0)
-        d_next = np.zeros((H, W))
-        # far-to-near write order approximates a z-buffer
-        order = np.argsort(-z[ok])
-        d_next[py[ok].ravel()[order], px[ok].ravel()[order]] = z[ok].ravel()[
-            order
-        ]
-        depths.append(_fill_holes(d_next))
-    return (
-        [d.astype(np.float32) for d in depths],
-        flows,
-        motions,
-    )
-
-
-def chain(motions):
-    """Ground-truth global poses from per-pair motions (ref chaining rule,
-    dfvo.py:109-119)."""
-    g = np.eye(4)
-    out = [g.copy()]
-    for T in motions:
-        g = g @ T
-        out.append(g.copy())
-    return out
+    diffs, bad_flows = [], []
+    for f in flows:
+        d, bad = structured_flow_diff(rng, H, W, n_bad=n_bad)
+        diffs.append(d)
+        bad_flows.append(corrupt_flow(f, bad, rng))
+    return diffs, bad_flows
 
 
 def ate(traj_a, traj_b):
@@ -271,18 +240,32 @@ def ate(traj_a, traj_b):
     )
 
 
+def apply_overrides(cfg, overrides):
+    """Apply a nested override dict to an attribute-style config. The SAME
+    dict drives both pipelines (this repo's YAML schema mirrors the
+    reference's, ref default_configuration.yml)."""
+    for key, val in (overrides or {}).items():
+        if isinstance(val, dict):
+            apply_overrides(getattr(cfg, key), val)
+        else:
+            setattr(cfg, key, val)
+
+
 # ---------------------------------------------------------------------------
 # reference pipeline runner
 # ---------------------------------------------------------------------------
-def run_reference(depths, flows, tmp_path):
+def run_reference(depths, flows, tmp_path, diffs=None, overrides=None,
+                  n_frames=None):
     _install_shims()
     import importlib
 
     from libs.general.configuration import ConfigLoader as RefConfigLoader
 
+    n_frames = n_frames or N_FRAMES
     cfg = RefConfigLoader().merge_cfg(
         [os.path.join(REF, "options/examples/default_configuration.yml"), None]
     )
+    apply_overrides(cfg, overrides)
     cfg.dataset = "fake_oracle"
     cfg.seq = "00"
     cfg.image.height = H
@@ -308,7 +291,7 @@ def run_reference(depths, flows, tmp_path):
             self.gt_poses = {0: np.eye(4)}
 
         def __len__(self):
-            return N_FRAMES
+            return n_frames
 
         def get_timestamp(self, i):
             return i
@@ -350,9 +333,12 @@ def run_reference(depths, flows, tmp_path):
             flow = flows[i - 1]
             self.ref_data["flow"] = flow.transpose(2, 0, 1).copy()
             self.cur_data["flow"] = -flow.transpose(2, 0, 1).copy()
-            self.ref_data["flow_diff"] = np.full(
-                (H, W, 1), 0.01, np.float32
-            )
+            if diffs is None:
+                self.ref_data["flow_diff"] = np.full(
+                    (H, W, 1), 0.01, np.float32
+                )
+            else:
+                self.ref_data["flow_diff"] = diffs[i - 1].reshape(H, W, 1)
 
     vo.deep_model_inference = types.MethodType(fake_inference, vo)
 
@@ -361,48 +347,55 @@ def run_reference(depths, flows, tmp_path):
     np.random.seed(4869)
     vo.main()
 
-    return [vo.global_poses[i].pose for i in range(N_FRAMES)]
+    return [vo.global_poses[i].pose for i in range(n_frames)]
 
 
 # ---------------------------------------------------------------------------
 # this repo's pipeline runner (same oracle injection point: the tracking
 # stack consumes frontend outputs; pose chaining mirrors pipeline/dfvo.py)
 # ---------------------------------------------------------------------------
-def run_ours(depths, flows):
+def run_ours(depths, flows, diffs=None, overrides=None, n_frames=None):
     from dfvo_tpu.pipeline.tracking import TrackingConfig, tracking_step
     from dfvo_tpu.utils import ConfigLoader
 
+    n_frames = n_frames or N_FRAMES
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     cfg = ConfigLoader().merge_cfg(
         [os.path.join(repo, "options/examples/default_configuration.yml")]
     )
+    apply_overrides(cfg, overrides)
     cfg.image.height = H
     cfg.image.width = W
     tcfg = TrackingConfig.from_cfg(cfg)
 
     Kj = jnp.asarray(K, jnp.float32)
     Kij = jnp.asarray(K_inv, jnp.float32)
-    flow_diff = jnp.full((H, W), 0.01, jnp.float32)
+    const_diff = jnp.full((H, W), 0.01, jnp.float32)
 
     g = np.eye(4)
     traj = [g.copy()]
     prev_motion = np.eye(4, dtype=np.float32)
+    prev_scale = 1.0
     base = jax.random.PRNGKey(4869)
     modes = []
-    for i in range(1, N_FRAMES):
+    for i in range(1, n_frames):
         out = tracking_step(
             jax.random.fold_in(base, i),
             jnp.asarray(flows[i - 1]),
-            flow_diff,
+            const_diff if diffs is None else jnp.asarray(diffs[i - 1]),
             jnp.asarray(depths[i]),
             jnp.asarray(depths[i - 1]),
             jnp.asarray(prev_motion),
             Kj,
             Kij,
             tcfg,
+            prev_scale=prev_scale,
         )
         T = np.asarray(out["pose"], np.float64)
         modes.append(int(out["mode"]))
+        s = float(out["scale"])
+        if s > 0:
+            prev_scale = s
         prev_motion = T.astype(np.float32)
         g = g @ T
         traj.append(g.copy())
@@ -481,3 +474,120 @@ class TestReferenceSystemParity:
 
         poses = load_poses_from_txt(str(tmp / "ref_result" / "00.txt"))
         assert len(poses) == N_FRAMES
+
+
+# ---------------------------------------------------------------------------
+# structured flow_diff + ablation-matrix parity (VERDICT r2 item 3)
+# ---------------------------------------------------------------------------
+ABLATIONS = {
+    # global best-N correspondences (ref ablation_correspondences_best_n.yml)
+    "best_n": {
+        "kp_selection": {
+            "local_bestN": {"enable": False},
+            "bestN": {"enable": True},
+        },
+    },
+    # uniformly sampled correspondences, ref's original kp_src spelling
+    # (ref ablation_correspondences_uniform.yml)
+    "uniform": {
+        "kp_selection": {
+            "local_bestN": {"enable": False},
+            "sampled_kp": {"enable": True},
+        },
+        "e_tracker": {"kp_src": "kp_list"},
+        "scale_recovery": {"kp_src": "kp_list"},
+        "pnp_tracker": {"kp_src": "kp_list"},
+        "visualization": {"kp_src": "kp_list"},
+    },
+    # iterative scale recovery with rigid-flow keypoints
+    # (ref ablation_scale_iterative.yml, E_tracker.py:509-569)
+    "scale_iterative": {
+        "kp_selection": {"rigid_flow_kp": {"enable": True}},
+        "scale_recovery": {"method": "iterative"},
+    },
+    # iterative keypoint refinement on the E-tracker (ref dfvo.py:195-222)
+    "iterative_kp": {
+        "kp_selection": {"rigid_flow_kp": {"enable": True}},
+        "e_tracker": {"iterative_kp": {"enable": True}},
+    },
+    # homography-inlier-ratio model selection (ref E_tracker.py:186-193,
+    # 243-249; no shipped config — thre chosen permissive so clean forward
+    # motion stays valid on both sides)
+    "homo_ratio": {
+        "e_tracker": {"validity": {"method": "homo_ratio", "thre": 0.75}},
+    },
+    # flow-magnitude model selection (ref ablation_model_sel_flow.yml)
+    "flow_validity": {
+        "e_tracker": {"validity": {"method": "flow", "thre": 5}},
+    },
+}
+
+N_ABL = 12  # frames per ablation run (bounds suite wall-time)
+
+
+class TestAblationParity:
+    @pytest.fixture(scope="class")
+    def oracle(self):
+        depths, flows, motions = make_oracle_sequence(seed=0)
+        diffs, bad_flows = make_structured_diffs(flows, seed=1)
+        return depths, bad_flows, diffs, motions
+
+    def test_structured_diff_default_config(self, oracle, tmp_path_factory):
+        """local_bestN must reject the corrupted-flow regions (flagged by
+        the structured flow_diff) on BOTH pipelines — the paper's key
+        selection contribution exercised at system level."""
+        depths, bad_flows, diffs, motions = oracle
+        gt = chain(motions)
+        tmp = tmp_path_factory.mktemp("ref_e2e_structured")
+
+        ref_traj = run_reference(depths, bad_flows, tmp, diffs=diffs)
+        our_traj, modes = run_ours(depths, bad_flows, diffs=diffs)
+
+        total_len = sum(np.linalg.norm(m[:3, 3]) for m in motions)
+        ate_ref_gt = ate(ref_traj, gt)
+        ate_our_gt = ate(our_traj, gt)
+        ate_cross = ate(our_traj, ref_traj)
+        print(
+            f"\nstructured: ate(ref,gt)={ate_ref_gt:.3f} "
+            f"ate(ours,gt)={ate_our_gt:.3f} ate(ours,ref)={ate_cross:.3f} "
+            f"modes={modes}"
+        )
+        assert ate_ref_gt < 0.02 * total_len
+        assert ate_our_gt < 0.02 * total_len
+        assert ate_cross < 0.02 * total_len
+
+    @pytest.mark.parametrize("name", sorted(ABLATIONS))
+    def test_ablation_parity(self, name, oracle, tmp_path_factory):
+        """Drive the ablation config through BOTH systems on the same
+        structured-diff oracle data; both must track the ground truth and
+        agree with each other."""
+        depths, bad_flows, diffs, motions = oracle
+        overrides = ABLATIONS[name]
+        depths, bad_flows, diffs = (
+            depths[:N_ABL], bad_flows[: N_ABL - 1], diffs[: N_ABL - 1]
+        )
+        motions = motions[: N_ABL - 1]
+        gt = chain(motions)
+        tmp = tmp_path_factory.mktemp(f"ref_e2e_{name}")
+
+        ref_traj = run_reference(
+            depths, bad_flows, tmp, diffs=diffs, overrides=overrides,
+            n_frames=N_ABL,
+        )
+        our_traj, modes = run_ours(
+            depths, bad_flows, diffs=diffs, overrides=overrides,
+            n_frames=N_ABL,
+        )
+
+        total_len = sum(np.linalg.norm(m[:3, 3]) for m in motions)
+        ate_ref_gt = ate(ref_traj, gt)
+        ate_our_gt = ate(our_traj, gt)
+        ate_cross = ate(our_traj, ref_traj)
+        print(
+            f"\n{name}: ate(ref,gt)={ate_ref_gt:.3f} "
+            f"ate(ours,gt)={ate_our_gt:.3f} ate(ours,ref)={ate_cross:.3f} "
+            f"modes={modes}"
+        )
+        assert ate_ref_gt < 0.03 * total_len
+        assert ate_our_gt < 0.03 * total_len
+        assert ate_cross < 0.03 * total_len
