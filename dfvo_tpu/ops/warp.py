@@ -130,7 +130,33 @@ def _grid_sample_patch4(src, coords):
     batch_off = jnp.arange(n, dtype=jnp.int32).reshape(
         (n,) + (1,) * (len(out_shape) - 1)
     )
-    idx = ((y0c * (w - 1) + x0c) * n + batch_off).reshape(-1)
+    idx = (y0c * (w - 1) + x0c) * n + batch_off
+    if len(out_shape) == 3:
+        # Dense image-grid sampling: enumerate gather rows in (H, W, N)
+        # order and hand the result back with a (N, H, W) transpose whose
+        # *physical* layout is the conv-native [H, W, N, C] ({3,0,2,1}).
+        # XLA:TPU convolutions natively produce/consume that layout
+        # (r2b finding, CLAUDE.md), so the warped map enters the NetE
+        # trunk without a relayout copy — NHWC-ordered gather rows were
+        # anchoring {3,2,1,0} into the trunk and forcing copies around
+        # every downstream conv (round-3 trace; clean-context trunk
+        # measured 15.5 vs ~50 ms/step in-model).
+        idx_t = jnp.transpose(idx, (1, 2, 0)).reshape(-1)
+        g = jnp.take(p_flat, idx_t, axis=0).reshape(
+            out_shape[1:] + (out_shape[0], 4 * c)
+        )
+        wt = [
+            jnp.transpose(wk, (1, 2, 0, 3))
+            for wk in (w00, w10, w01, w11)
+        ]
+        out = (
+            g[..., 0 * c : 1 * c] * wt[0]
+            + g[..., 1 * c : 2 * c] * wt[1]
+            + g[..., 2 * c : 3 * c] * wt[2]
+            + g[..., 3 * c : 4 * c] * wt[3]
+        )
+        return jnp.transpose(out, (2, 0, 1, 3))
+    idx = idx.reshape(-1)
     g = jnp.take(p_flat, idx, axis=0).reshape(out_shape + (4 * c,))
     return (
         g[..., 0 * c : 1 * c] * w00
