@@ -76,16 +76,26 @@ def _pallas_corr_rowchunk(f1, f2, max_disp, band):
     specs while the zero-padded f2 stays in HBM and the kernel DMAs the
     haloed band (band + 2D rows) into VMEM scratch itself — overlapping
     halo windows are not expressible with blocked BlockSpecs.
+
+    Mosaic legality (learned on real v5e, round 3): slices on the
+    2nd-minor (sublane) dim need offset AND size that are multiples of
+    8, so the per-displacement column windows ``[dx+d : dx+d+w]`` are
+    expressed as a ``pltpu.roll`` along the column axis followed by a
+    ``[:w]`` slice at offset 0; column extents are padded to multiples
+    of 8 so every remaining slice/block is aligned. Row offsets
+    (3rd-minor, untiled) are unconstrained.
     """
     n, h, w, c = f1.shape
     d = max_disp
     k_total = (2 * d + 1) ** 2
     n_bands = -(-h // band)
     hp = n_bands * band
-    if hp != h:  # pad rows so the band grid tiles exactly
-        f1 = jnp.pad(f1, ((0, 0), (0, hp - h), (0, 0), (0, 0)))
-        f2 = jnp.pad(f2, ((0, 0), (0, hp - h), (0, 0), (0, 0)))
-    f2p = jnp.pad(f2, ((0, 0), (d, d), (d, d), (0, 0)))
+    w8 = -(-w // 8) * 8  # aligned column count for in-kernel slices
+    ws = -(-(w8 + 2 * d) // 8) * 8  # aligned scratch width
+    if hp != h or w8 != w:  # pad so the band grid + slices tile exactly
+        f1 = jnp.pad(f1, ((0, 0), (0, hp - h), (0, w8 - w), (0, 0)))
+        f2 = jnp.pad(f2, ((0, 0), (0, hp - h), (0, w8 - w), (0, 0)))
+    f2p = jnp.pad(f2, ((0, 0), (d, d), (d, ws - w8 - d), (0, 0)))
 
     def kernel(f1_ref, f2p_ref, out_ref, scratch, sem):
         i = pl.program_id(0)
@@ -99,58 +109,62 @@ def _pallas_corr_rowchunk(f1, f2, max_disp, band):
         f1b = f1_ref[0]
         dma.wait()
         inv_c = 1.0 / c
-        for k in range(k_total):
-            dy = k // (2 * d + 1) - d
-            dx = k % (2 * d + 1) - d
-            f2s = scratch[
-                dy + d : dy + d + band, dx + d : dx + d + w, :
-            ]
-            out_ref[0, :, :, k] = jnp.sum(f1b * f2s, axis=-1) * inv_c
+        for dx in range(-d, d + 1):
+            # rolled[r, x, :] == scratch[r, x + dx + d, :] for x < w8
+            # (pltpu.roll requires shift >= 0: use the cyclic complement)
+            rolled = pltpu.roll(scratch[...], (ws - dx - d) % ws, 1)
+            for dy in range(-d, d + 1):
+                k = (dy + d) * (2 * d + 1) + (dx + d)
+                f2s = rolled[dy + d : dy + d + band, :w8, :]
+                out_ref[0, :, :, k] = jnp.sum(f1b * f2s, axis=-1) * inv_c
 
     out = pl.pallas_call(
         kernel,
         grid=(n, n_bands),
         in_specs=[
             pl.BlockSpec(
-                (1, band, w, c),
+                (1, band, w8, c),
                 lambda i, j: (i, j, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (1, band, w, k_total),
+            (1, band, w8, k_total),
             lambda i, j: (i, j, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((n, hp, w, k_total), f1.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, hp, w8, k_total), f1.dtype),
         scratch_shapes=[
-            pltpu.VMEM((band + 2 * d, w + 2 * d, c), f1.dtype),
+            pltpu.VMEM((band + 2 * d, ws, c), f1.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * n * hp * w * c * k_total,
-            bytes_accessed=(2 * n * hp * w * c + n * hp * w * k_total)
+            flops=2 * n * hp * w8 * c * k_total,
+            bytes_accessed=(2 * n * hp * w8 * c + n * hp * w8 * k_total)
             * f1.dtype.itemsize,
             transcendentals=0,
         ),
     )(f1, f2p)
-    return out[:, :h] if hp != h else out
+    return out[:, :h, :w]
 
 
 def _rowchunk_band(h, w, c, k_total, itemsize, max_disp,
                    budget=6 * 1024 * 1024):
     """Largest row-band (divisor-friendly) whose double-buffered footprint
     fits the VMEM budget; None if even a minimal band does not fit."""
+    w8 = -(-w // 8) * 8
+    ws = -(-(w8 + 2 * max_disp) // 8) * 8
     for band in (32, 24, 16, 12, 8, 4, 2, 1):
         if band > h:
             continue
-        # actual scratch in _pallas_corr_rowchunk: (band+2d, w+2d, c)
+        # actual scratch in _pallas_corr_rowchunk: (band+2d, ws, c),
+        # plus one full-width rolled register copy
         halo = band + 2 * max_disp
         vmem = 2 * itemsize * (
-            band * w * c
-            + halo * (w + 2 * max_disp) * c
-            + band * w * k_total
+            band * w8 * c
+            + 2 * halo * ws * c
+            + band * w8 * k_total
         )
         if vmem <= budget:
             return band

@@ -92,6 +92,7 @@ class TestCorrelation:
             (2, 48, 40, 16, 3, 16),
             (1, 13, 24, 8, 3, 4),  # 13 rows, band 4: padded tail band
             (1, 10, 24, 8, 4, 4),  # HD3 window
+            (1, 12, 30, 8, 3, 8),  # width not a multiple of 8
         ]:
             f1 = jnp.array(rng.randn(n, h, w, c).astype(np.float32))
             f2 = jnp.array(rng.randn(n, h, w, c).astype(np.float32))
