@@ -35,6 +35,12 @@ def make_seq_mesh(devices=None, axis_name="seq"):
     return Mesh(np.array(devices), (axis_name,))
 
 
+# (frontend static key, tracking config, mesh, axis name) -> jitted
+# sharded VO step, shared across MultiSeqRunner instances (tracing the
+# shard_mapped full step is expensive; see dfvo._STEP_FN_CACHE)
+_VO_STEP_CACHE = {}
+
+
 class MultiSeqRunner:
     """Builds sharded multi-sequence step functions for a config."""
 
@@ -56,6 +62,15 @@ class MultiSeqRunner:
         (poses [S x 4 x 4], modes [S], depth_cur [S x H x W]) with S
         sequences (and their per-sequence intrinsics) sharded over the mesh.
         """
+        key = (
+            self.frontend.static_key(),
+            self.tcfg,
+            self.mesh,
+            self.axis_name,
+        )
+        cached = _VO_STEP_CACHE.get(key)
+        if cached is not None:
+            return cached
         frontend = self.frontend
         tcfg = self.tcfg
 
@@ -90,7 +105,9 @@ class MultiSeqRunner:
             out_specs=(P(self.axis_name), P(self.axis_name), P(self.axis_name)),
             check_vma=False,
         )
-        return jax.jit(sharded)
+        fn = jax.jit(sharded)
+        _VO_STEP_CACHE[key] = fn
+        return fn
 
     # ------------------------------------------------------------------
     def make_train_step(self):

@@ -25,6 +25,10 @@ from .tracking import TrackingConfig, tracking_step
 
 _MODE_NAMES = {0: "Const.", 1: "Ess. Mat.", 2: "PnP", 3: "DeepPose"}
 
+# (frontend static key, tracking config, tracking method) -> jitted step
+# functions, shared across DFVO instances (see _build_step_fns)
+_STEP_FN_CACHE = {}
+
 
 class DFVO:
     def __init__(self, cfg):
@@ -79,6 +83,21 @@ class DFVO:
 
     # ------------------------------------------------------------------
     def _build_step_fns(self):
+        # Share jitted step functions between instances whose traced
+        # programs are identical (same frontend statics + tracking config):
+        # re-tracing the fused per-frame step is expensive (tens of
+        # seconds of pure Python/lowering), and multi-instance runs
+        # (benchmarks, tests, resume-vs-straight comparisons, sequence
+        # sweeps) otherwise pay it per instance.
+        key = (
+            self.frontend.static_key(),
+            self.tcfg,
+            self.tracking_method,
+        )
+        cached = _STEP_FN_CACHE.get(key)
+        if cached is not None:
+            self._depth_only, self._full_step = cached
+            return
         frontend = self.frontend
         tcfg = self.tcfg
 
@@ -146,6 +165,7 @@ class DFVO:
 
         self._depth_only = depth_only
         self._full_step = full_step
+        _STEP_FN_CACHE[key] = (depth_only, full_step)
 
     def update_global_pose(self, new_pose, scale=1.0):
         """Chain the relative pose into the global trajectory

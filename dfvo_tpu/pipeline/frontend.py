@@ -84,6 +84,7 @@ class DeepFrontend:
             depth_kw = dict(min_depth=0.1, max_depth=10.0, baseline_multiplier=1.0)
         else:
             depth_kw = dict(min_depth=0.1, max_depth=100.0, baseline_multiplier=5.4)
+        self.depth_kw = depth_kw
         self.depth_net = Monodepth2Depth(**depth_kw)
         self.flow_kind = cfg.deep_flow.network
         if self.flow_kind == "liteflow":
@@ -100,6 +101,24 @@ class DeepFrontend:
             self.pose_net = Monodepth2Pose(
                 baseline_multiplier=depth_kw["baseline_multiplier"]
             )
+
+    def static_key(self):
+        """Hashable key capturing everything that shapes this frontend's
+        traced programs: two frontends with equal keys produce identical
+        jaxprs for ``infer``/``infer_chunk``, so jitted step functions
+        built around one can serve the other. Used to share traces (and
+        hence compiles) across pipeline instances — on the single-core CI
+        host, re-tracing the fused step per DFVO instance was the
+        dominant suite cost."""
+        return (
+            self.h,
+            self.w,
+            jnp.dtype(self.dtype).name,
+            tuple(sorted(self.depth_kw.items())),
+            self.flow_kind,
+            self.flow_feed,
+            self.use_pose_net,
+        )
 
     # -- parameters ---------------------------------------------------------
     def init_variables(self, rng):

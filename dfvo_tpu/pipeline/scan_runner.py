@@ -24,6 +24,13 @@ from .frontend import DeepFrontend
 from .tracking import TrackingConfig, pnp_fallback, tracking_step
 
 
+# (frontend static key, tracking config) -> jitted chunk-step / init-depth
+# functions, shared across ScanRunner instances (same rationale as
+# dfvo._STEP_FN_CACHE: tracing the fused chunk program is expensive).
+# Chunk size is a call-time shape, so one function serves every chunk.
+_CHUNK_FN_CACHE = {}
+
+
 class ScanRunner:
     """Chunked on-device VO over a frame stream."""
 
@@ -35,6 +42,11 @@ class ScanRunner:
         self._build()
 
     def _build(self):
+        key = (self.frontend.static_key(), self.tcfg)
+        cached = _CHUNK_FN_CACHE.get(key)
+        if cached is not None:
+            self._chunk_step, self._init_depth = cached
+            return
         frontend = self.frontend
         tcfg = self.tcfg
 
@@ -233,6 +245,7 @@ class ScanRunner:
             return out["depth"][0]
 
         self._init_depth = init_depth
+        _CHUNK_FN_CACHE[key] = (chunk_step, init_depth)
 
     def run(self, variables, frames, K, K_inv, rng_seed=0):
         """Track a whole in-memory sequence.

@@ -47,6 +47,7 @@ def _batch(runner, S):
     }
 
 
+@pytest.mark.xdist_group("multiseq")
 def test_multiseq_vo_step_shards_over_devices(runner):
     S = 4
     b = _batch(runner, S)
@@ -64,6 +65,7 @@ def test_multiseq_vo_step_shards_over_devices(runner):
     assert len(sharding.device_set) == 4
 
 
+@pytest.mark.xdist_group("multiseq")
 def test_multiseq_train_step_reduces_gradients(runner):
     S = 4
     b = _batch(runner, S)
@@ -91,6 +93,7 @@ def test_multiseq_train_step_reduces_gradients(runner):
     np.testing.assert_array_equal(np.asarray(b0), np.asarray(a0))
 
 
+@pytest.mark.xdist_group("multiseq")
 def test_dryrun_multichip_entrypoint():
     """The driver-facing dryrun itself must stay green (VERDICT r1 item 1).
 
@@ -108,6 +111,7 @@ def test_dryrun_multichip_entrypoint():
 # test): synthetic KITTI-layout sequences -> apis/run_multiseq.py on the
 # virtual 8-device mesh -> per-sequence trajectory files -> eval tool
 # ---------------------------------------------------------------------------
+@pytest.mark.xdist_group("multiseq")
 def test_multiseq_cli_end_to_end(tmp_path):
     import os
     import sys

@@ -190,6 +190,7 @@ def synthetic_kitti(tmp_path_factory):
 
 
 class TestPipelineSmoke:
+    @pytest.mark.xdist_group("pipeline96x320")
     def test_full_pipeline_runs(self, synthetic_kitti, tmp_path):
         from dfvo_tpu.pipeline import DFVO
         from dfvo_tpu.utils import ConfigLoader

@@ -19,16 +19,24 @@ def make_vo(synthetic_kitti, result_dir):
         [os.path.join(REPO, "options/examples/default_configuration.yml")]
     )
     cfg.seq = "42"
+    # deliberately IDENTICAL jit-relevant config to test_pipeline's
+    # TestPipelineSmoke (same image size / hypotheses / visualization
+    # flags): the three DFVO instances here then share one traced step
+    # function (dfvo._STEP_FN_CACHE) and, in the same xdist_group as the
+    # pipeline smoke test, reuse its persisted compile — this test is
+    # otherwise the single most expensive compile in the suite.
     cfg.image.height = 96
     cfg.image.width = 320
     cfg.directory.img_seq_dir = str(synthetic_kitti / "odom_data")
     cfg.directory.gt_pose_dir = str(synthetic_kitti / "gt_poses")
     cfg.directory.result_dir = str(result_dir)
-    cfg.visualization.enable = False
-    cfg.tpu.ransac_hypotheses = 32
+    cfg.visualization.enable = True
+    cfg.visualization.save_img = False
+    cfg.tpu.ransac_hypotheses = 64
     return DFVO(cfg)
 
 
+@pytest.mark.xdist_group("pipeline96x320")
 def test_save_and_resume_matches_straight_run(synthetic_kitti, tmp_path):
     # straight run over 6 frames
     vo_a = make_vo(synthetic_kitti, tmp_path / "a")

@@ -3,6 +3,7 @@
 import os
 
 import numpy as np
+import pytest
 
 import jax
 
@@ -55,6 +56,7 @@ def _per_frame_tracking_reference(runner, variables, frames, K, K_inv, seed=0):
     return np.stack(poses), np.asarray(modes)
 
 
+@pytest.mark.xdist_group("scan64")
 def test_scan_tracking_matches_sequential_semantics():
     """The vmapped tracking path (+ chunk-batched deferred PnP + fix-up
     scan) must produce the same poses as per-frame sequential tracking."""
@@ -109,6 +111,7 @@ def test_scan_tracking_matches_sequential_semantics():
     )
 
 
+@pytest.mark.xdist_group("scan64")
 def test_scan_runner_matches_per_frame_loop():
     cfg = ConfigLoader().merge_cfg(
         [os.path.join(REPO, "options/examples/default_configuration.yml")]
