@@ -122,3 +122,38 @@ def test_image_grid():
     g = image_grid(3, 4)
     assert g.shape == (3, 4, 2)
     assert g[2, 3, 0] == 3 and g[2, 3, 1] == 2  # [x, y] ordering
+
+
+def test_compilation_cache_atomic_put_and_healing_get(tmp_path):
+    """Concurrent-process hardening of the persistent compile cache
+    (utils/cache.py): entries appear atomically (no partially-written
+    file is ever visible to a concurrent reader — partial reads
+    segfaulted xdist workers inside XLA's executable deserializer), and
+    unreadable entries are evicted and reported as misses instead of
+    failing every later run."""
+    import os
+
+    from dfvo_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache(str(tmp_path / "cache"))
+
+    from jax._src.lru_cache import LRUCache
+
+    c = LRUCache(str(tmp_path / "plain"), max_size=-1)
+    c.put("k", b"hello")
+    assert c.get("k") == b"hello"
+    leftovers = [p for p in (tmp_path / "plain").iterdir()
+                 if p.name.endswith(".tmp")]
+    assert not leftovers, "atomic put must not leave temp files"
+
+    import jax
+    from jax._src import compilation_cache as cc
+    from jax._src import xla_bridge
+
+    backend = xla_bridge.get_backend()
+    cache = cc._get_cache(backend)
+    key = f"dfvo-test-corrupt-{os.getpid()}"
+    cache.put(key, b"definitely not a zstd-compressed executable")
+    out = cc.get_executable_and_time(key, None, backend, jax.devices()[:1])
+    assert out == (None, None)
+    assert cache.get(key) is None, "corrupt entry should be evicted"
