@@ -82,8 +82,12 @@ class TestPoseSrc:
         cfg.online_finetune.depth.enable = True
         cfg.online_finetune.depth.pose_src = pose_src
         frontend = DeepFrontend(cfg)
+        # construct the finetuner BEFORE network init: the invalid-config
+        # test cases raise here, and initializing the networks twice just
+        # to observe a ValueError cost ~3 min of suite time
+        finetuner = OnlineFinetuner(frontend, cfg)
         variables = frontend.init_variables(jax.random.PRNGKey(0))
-        return OnlineFinetuner(frontend, cfg), frontend, variables, jnp
+        return finetuner, frontend, variables, jnp
 
     def test_three_sources_produce_documented_poses(self):
         ft, frontend, variables, jnp = self._finetuner("DF-VO")
