@@ -205,5 +205,28 @@ def main():
     )
 
 
+def _main_with_retry(attempts=3, delay_s=120):
+    """The axon remote-compile tunnel occasionally drops mid-compile
+    ("response body closed before all bytes were read" / backend
+    UNAVAILABLE); compiled programs persist in the cache, so a retry
+    resumes where the failed attempt stopped instead of redoing work."""
+    for i in range(attempts):
+        try:
+            return main()
+        except Exception as e:  # noqa: BLE001 - surface after retries
+            transient = any(
+                s in str(e)
+                for s in ("remote_compile", "UNAVAILABLE", "DEADLINE_EXCEEDED")
+            )
+            if not transient or i == attempts - 1:
+                raise
+            print(
+                f"# transient backend failure (attempt {i + 1}): {e}",
+                file=sys.stderr,
+                flush=True,
+            )
+            time.sleep(delay_s)
+
+
 if __name__ == "__main__":
-    main()
+    _main_with_retry()
