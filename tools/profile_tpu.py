@@ -48,6 +48,7 @@ def summarize_xplane(outdir, top=30):
     with open(path, "rb") as f:
         space.ParseFromString(f.read())
     report = []
+    full = []
     for p in space.planes:
         if "TPU" not in p.name:
             continue
@@ -72,10 +73,18 @@ def summarize_xplane(outdir, top=30):
                 report.append(
                     f"   {ps/1e9:9.3f} ms  x{cnt[name]:5d}  {name[:110]}"
                 )
+            full.append((p.name, line.name, tot, cnt))
     text = "\n".join(report)
     print(text)
     with open(os.path.join(outdir, "op_summary.txt"), "w") as f:
         f.write(text)
+    # complete per-op dump (the top-N table hides a long tail that can be
+    # half the device time) for offline aggregation
+    with open(os.path.join(outdir, "op_summary_full.txt"), "w") as f:
+        for pname, lname, tot, cnt in full:
+            f.write(f"== {pname} / {lname}\n")
+            for name, ps in tot.most_common():
+                f.write(f"{ps/1e9:12.4f} ms x{cnt[name]:6d}  {name}\n")
     return text
 
 
@@ -86,7 +95,13 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument(
         "--e-path", action="store_true",
-        help="profile the realistic E-success path (tpu.force_e_path)",
+        help="profile the static E-success path (tpu.force_e_path)",
+    )
+    ap.add_argument(
+        "--coherent", action="store_true",
+        help="profile the bench headline program: coherent-motion synthetic "
+        "sequence under the default config (the deferred-PnP cond skips "
+        "dynamically instead of being compiled out)",
     )
     args = ap.parse_args()
 
@@ -122,10 +137,37 @@ def main():
     Kij = jnp.asarray(np.linalg.inv(K).astype(np.float32))
 
     rng_np = np.random.RandomState(0)
-    frames = jnp.asarray(
-        rng_np.randint(0, 255, (chunk + 1, h, w, 3), dtype=np.uint8)
-    )
-    depth0 = runner._init_depth(variables, frames[0])
+    oracle = None
+    if args.coherent:
+        from dfvo_tpu.synth import (
+            corrupt_flow,
+            make_oracle_sequence,
+            render_images,
+            structured_flow_diff,
+        )
+
+        depths_o, flows_o, _ = make_oracle_sequence(
+            h, w, K, chunk + 1, seed=0
+        )
+        images = render_images(depths_o, flows_o, seed=0)
+        rng_sf = np.random.RandomState(1)
+        diffs, flows_c = [], []
+        for fl in flows_o:
+            d, bad = structured_flow_diff(rng_sf, h, w, n_bad=2)
+            diffs.append(d)
+            flows_c.append(corrupt_flow(fl, bad, rng_sf))
+        frames = jnp.asarray(np.stack(images))
+        depth0 = jnp.asarray(depths_o[0])
+        oracle = {
+            "depths": jnp.asarray(np.stack(depths_o[1:])),
+            "flow_fwd": jnp.asarray(np.stack(flows_c)),
+            "flow_diff": jnp.asarray(np.stack(diffs)),
+        }
+    else:
+        frames = jnp.asarray(
+            rng_np.randint(0, 255, (chunk + 1, h, w, 3), dtype=np.uint8)
+        )
+        depth0 = runner._init_depth(variables, frames[0])
     base = jax.random.PRNGKey(0)
     rngs = jax.vmap(lambda i: jax.random.fold_in(base, i))(
         jnp.arange(1, 1 + chunk)
@@ -139,7 +181,7 @@ def main():
 
     def step():
         poses, modes, c2 = runner._chunk_step(
-            variables, frames[1:], carry, rngs, Kj, Kij
+            variables, frames[1:], carry, rngs, Kj, Kij, oracle=oracle
         )
         return float(jnp.sum(poses))  # dependent scalar = real device sync
 
