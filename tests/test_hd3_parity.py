@@ -9,6 +9,7 @@ import types
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 torch = pytest.importorskip("torch")
@@ -128,7 +129,7 @@ class TestHD3Parity:
 
         net = HD3Net(task=task, encoder="dlaup", decoder="hda",
                      corr_range=tuple(corr_range), context=False, ds=6)
-        j_prob, j_vect = net.apply(
+        j_prob, j_vect = jax.jit(net.apply)(
             variables,
             jnp.array(img1.transpose(0, 2, 3, 1)),
             jnp.array(img2.transpose(0, 2, 3, 1)),

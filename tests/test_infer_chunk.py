@@ -29,10 +29,16 @@ def test_infer_chunk_matches_per_frame(flow_kind):
     rng = np.random.RandomState(0)
     all_imgs = jnp.asarray(rng.rand(4, 64, 96, 3).astype(np.float32))
 
-    chunk = frontend.infer_chunk(variables, all_imgs)
+    # jit the facades: eagerly dispatching the full networks op-by-op on
+    # the single-core CI host costs minutes; jitted, each path is one
+    # (persistently cached) compile
+    infer_chunk = jax.jit(frontend.infer_chunk)
+    infer = jax.jit(frontend.infer)
+
+    chunk = infer_chunk(variables, all_imgs)
 
     for i in range(3):
-        single = frontend.infer(variables, all_imgs[i + 1], all_imgs[i])
+        single = infer(variables, all_imgs[i + 1], all_imgs[i])
         np.testing.assert_allclose(
             np.asarray(chunk["depths"][i]),
             np.asarray(single["depth_cur"]),

@@ -348,7 +348,9 @@ class TestLiteFlowNetParity:
             t_flows = tnet([torch.from_numpy(img1), torch.from_numpy(img2)])
 
         model = LiteFlowNet(use_pallas=False)
-        j_flows = model.apply(
+        # jit: eager per-op dispatch of the full net costs minutes on the
+        # single-core CI host
+        j_flows = jax.jit(model.apply)(
             variables,
             jnp.array(img1.transpose(0, 2, 3, 1)),
             jnp.array(img2.transpose(0, 2, 3, 1)),

@@ -25,7 +25,7 @@ def _per_frame_tracking_reference(runner, variables, frames, K, K_inv, seed=0):
     tcfg = runner.tcfg
     variables = frontend.prepare_variables(variables)
     all_imgs = jnp.asarray(frames).astype(jnp.float32) / 255.0
-    fo = frontend.infer_chunk(variables, all_imgs)
+    fo = jax.jit(frontend.infer_chunk)(variables, all_imgs)
     # fo["depths"][i] = depth of frame i+1; frame 0's depth comes from the
     # standalone single-frame pass, as the chunk carry does
     depth0 = runner._init_depth(variables, jnp.asarray(frames[0]))
