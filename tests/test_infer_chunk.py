@@ -14,7 +14,7 @@ from dfvo_tpu.utils import ConfigLoader
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-@pytest.mark.parametrize("flow_kind", ["liteflow"])
+@pytest.mark.parametrize("flow_kind", ["liteflow", "hd3"])
 def test_infer_chunk_matches_per_frame(flow_kind):
     cfg = ConfigLoader().merge_cfg(
         [os.path.join(REPO, "options/examples/default_configuration.yml")]
@@ -49,11 +49,15 @@ def test_infer_chunk_matches_per_frame(flow_kind):
             np.asarray(chunk["flow_fwd"][i]),
             np.asarray(single["flow_fwd"]),
             atol=1e-4,
+            rtol=1e-5,
             err_msg=f"flow mismatch pair {i}",
         )
         np.testing.assert_allclose(
             np.asarray(chunk["flow_diff"][i]),
             np.asarray(single["flow_diff"]),
+            # hd3 flow_diff magnitudes reach hundreds of pixels; allow the
+            # float32 op-reordering between the batched and single programs
             atol=1e-4,
+            rtol=1e-5,
             err_msg=f"flow_diff mismatch pair {i}",
         )
