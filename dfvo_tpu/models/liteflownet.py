@@ -175,6 +175,7 @@ class _ConvParams(nn.Module):
 
 class _Regularization(nn.Module):
     level: int
+    use_pallas: Any = None
 
     @nn.compact
     def __call__(self, img1, img2, feat1, flow):
@@ -225,7 +226,9 @@ class _Regularization(nn.Module):
 
         wx, bx = _ConvParams(dist_ch, 1, name="scale_x")()
         wy, by = _ConvParams(dist_ch, 1, name="scale_y")()
-        return reg_scale_filter(dist, flow, wx, bx, wy, by, k)
+        return reg_scale_filter(
+            dist, flow, wx, bx, wy, by, k, use_pallas=self.use_pallas
+        )
 
 
 class _Features(nn.Module):
@@ -317,9 +320,10 @@ class LiteFlowNet(nn.Module):
                 lvl, use_pallas=self.use_pallas, name=f"matching_{lvl}"
             )(f1, f2, flow)
             flow = _Subpixel(lvl, name=f"subpixel_{lvl}")(f1, f2, flow)
-            flow = _Regularization(lvl, name=f"regularization_{lvl}")(
-                imgs1[lvl], imgs2[lvl], f1, flow
-            )
+            flow = _Regularization(
+                lvl, use_pallas=self.use_pallas,
+                name=f"regularization_{lvl}",
+            )(imgs1[lvl], imgs2[lvl], f1, flow)
             flows[lvl - 1] = flow
 
         return {i: flows[i] * (20.0 * 0.5**i) for i in flows}

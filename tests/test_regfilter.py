@@ -56,6 +56,36 @@ def test_reg_scale_filter_matches_unfold_conv(k):
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+@pytest.mark.parametrize(
+    "n,h,w,k",
+    [
+        (2, 32, 96, 7),   # level-2-like: exact band/lane tiling
+        (1, 20, 88, 5),   # tail band (20 rows, band 16)
+        (1, 16, 84, 3),   # width not a multiple of 8
+    ],
+)
+def test_pallas_regfilter_interpret_matches_xla(n, h, w, k):
+    from jax.experimental.pallas import tpu as pltpu
+
+    from dfvo_tpu.ops.regfilter import _regfilter_pallas, _unfold_mul_xla
+
+    rng = np.random.RandomState(h + k)
+    kk = k * k
+    dist = jnp.asarray(rng.rand(n, h, w, kk).astype(np.float32) + 0.1)
+    flow = jnp.asarray((rng.rand(n, h, w, 2) - 0.5).astype(np.float32) * 3)
+    wx = jnp.asarray((rng.rand(1, 1, kk, 1) - 0.5).astype(np.float32))
+    wy = jnp.asarray((rng.rand(1, 1, kk, 1) - 0.5).astype(np.float32))
+    bx = jnp.asarray(rng.rand(1).astype(np.float32))
+    by = jnp.asarray(rng.rand(1).astype(np.float32))
+
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            _regfilter_pallas(dist, flow, wx, bx, wy, by, k)
+        )
+    want = np.asarray(_unfold_mul_xla(dist, flow, wx, bx, wy, by, k))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
 def test_reg_scale_filter_grad():
     k = 5
     rng = np.random.RandomState(0)
