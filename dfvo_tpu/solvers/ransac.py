@@ -11,8 +11,19 @@ Keypoint sets are fixed-size arrays with validity masks (SURVEY.md §7 "static
 shapes"), so compile once and reuse for every frame.
 """
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
+
+
+def _mix32(x):
+    """splitmix/murmur3-style 32-bit avalanche (full-period bijection)."""
+    x = x ^ (x >> 16)
+    x = x * np.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * np.uint32(0xC2B2AE35)
+    return x ^ (x >> 16)
 
 
 def sample_indices(rng, valid_mask, num_hypotheses, sample_size):
@@ -44,11 +55,18 @@ def sample_indices(rng, valid_mask, num_hypotheses, sample_size):
     order = jnp.zeros(n, jnp.int32).at[pos].set(
         jnp.arange(n, dtype=jnp.int32)
     )
-    count = jnp.maximum(n_valid, 1)
-    raw = jax.random.randint(
-        rng, (num_hypotheses, sample_size), 0, jnp.iinfo(jnp.int32).max
-    )
-    return order[raw % count]
+    count = jnp.maximum(n_valid, 1).astype(jnp.uint32)
+    # counter-based hash draw instead of jax.random.randint: threefry on
+    # TPU costs ~0.23 ms/frame for these tables under the tracking vmap
+    # (round-3 device trace, s32[32,1280,8] fusions); a splitmix-style
+    # avalanche of a seeded iota is statistically ample for RANSAC
+    # sample selection and is a handful of elementwise VPU ops
+    kd = jnp.asarray(jax.random.key_data(rng), jnp.uint32).reshape(-1)
+    base = _mix32(kd[0] * np.uint32(0x9E3779B9) ^ _mix32(kd[-1]))
+    iota = jax.lax.iota(jnp.uint32, num_hypotheses * sample_size)
+    raw = _mix32(iota * np.uint32(0x9E3779B9) + base)
+    raw = raw.reshape(num_hypotheses, sample_size)
+    return order[(raw % count).astype(jnp.int32)]
 
 
 def best_hypothesis(inlier_counts):
