@@ -130,6 +130,10 @@ def _grid_sample_patch4(src, coords):
     batch_off = jnp.arange(n, dtype=jnp.int32).reshape(
         (n,) + (1,) * (len(out_shape) - 1)
     )
+    # idx is in-bounds by construction (y0c/x0c clipped above), so
+    # mode='clip' is a no-op on the index fusion; jnp.take's default
+    # 'fill' mode instead adds a compare+select pass over the full
+    # gathered table (~1 GB/step at LiteFlowNet level 2, r3 trace)
     idx = (y0c * (w - 1) + x0c) * n + batch_off
     if len(out_shape) == 3:
         # Dense image-grid sampling: enumerate gather rows in (H, W, N)
@@ -142,7 +146,7 @@ def _grid_sample_patch4(src, coords):
         # every downstream conv (round-3 trace; clean-context trunk
         # measured 15.5 vs ~50 ms/step in-model).
         idx_t = jnp.transpose(idx, (1, 2, 0)).reshape(-1)
-        g = jnp.take(p_flat, idx_t, axis=0).reshape(
+        g = jnp.take(p_flat, idx_t, axis=0, mode="clip").reshape(
             out_shape[1:] + (out_shape[0], 4 * c)
         )
         wt = [
@@ -157,7 +161,9 @@ def _grid_sample_patch4(src, coords):
         )
         return jnp.transpose(out, (2, 0, 1, 3))
     idx = idx.reshape(-1)
-    g = jnp.take(p_flat, idx, axis=0).reshape(out_shape + (4 * c,))
+    g = jnp.take(
+        p_flat, idx, axis=0, mode="clip"
+    ).reshape(out_shape + (4 * c,))
     return (
         g[..., 0 * c : 1 * c] * w00
         + g[..., 1 * c : 2 * c] * w10
@@ -219,7 +225,9 @@ def _grid_sample_gather4(src, coords, padding_mode="zeros"):
 
     def gather(yi, xi):
         idx = ((yi * w + xi) * n + batch_off).reshape(-1)
-        return jnp.take(src_flat, idx, axis=0).reshape(out_shape + (c,))
+        return jnp.take(
+            src_flat, idx, axis=0, mode="clip"
+        ).reshape(out_shape + (c,))
 
     v00 = gather(y0c, x0c)
     v10 = gather(y0c, x1c)
