@@ -89,13 +89,25 @@ def _regfilter_pallas(dist, flow, wx, bx, wy, by, k, band=16):
             dist, ((0, 0), (0, hp - h), (0, w8 - w), (0, 0)),
             constant_values=1.0,  # keep the divisor finite in pad rows
         )
-    wp = -(-(w8 + 2 * p) // 8) * 8
+    # Mosaic legality of the haloed-window DMA (probed on real v5e): the
+    # sliced window must be tiling-aligned in BOTH trailing dims — 2nd-minor
+    # offset and size multiples of 8, minor size a multiple of 128 ("Slice
+    # shape along dimension 1 must be aligned to tiling (8), but is 20" /
+    # "... dimension 2 ... (128), but is 328"). Round the halo window up to
+    # 8 rows and the padded plane width up to full lanes, and pad the
+    # planes so the last band's window stays in bounds.
+    wp = -(-(w8 + 2 * p) // 128) * 128
+    b2 = band + 2 * p
+    b2r = -(-b2 // 8) * 8
+    row_pad_lo = p
+    row_pad_hi = (hp + (b2r - band)) - h - p
     fx = jnp.pad(
-        flow[..., 0], ((0, 0), (p, p + hp - h), (p, wp - w - p))
+        flow[..., 0], ((0, 0), (row_pad_lo, row_pad_hi), (p, wp - w - p))
     )
     fy = jnp.pad(
-        flow[..., 1], ((0, 0), (p, p + hp - h), (p, wp - w - p))
+        flow[..., 1], ((0, 0), (row_pad_lo, row_pad_hi), (p, wp - w - p))
     )
+    assert fx.shape[1] >= (n_bands - 1) * band + b2r
     dist_t = jnp.moveaxis(dist, -1, 1)  # [N, k², H, W] (W minor)
     wvec = jnp.concatenate(
         [
@@ -105,17 +117,16 @@ def _regfilter_pallas(dist, flow, wx, bx, wy, by, k, band=16):
             by.reshape(1),
         ]
     ).astype(jnp.float32)
-    b2 = band + 2 * p
 
     def kernel(w_ref, dist_ref, fx_hbm, fy_hbm, outx_ref, outy_ref,
                sfx, sfy, semx, semy):
         i = pl.program_id(0)
         j = pl.program_id(1)
         cx = pltpu.make_async_copy(
-            fx_hbm.at[i, pl.ds(j * band, b2)], sfx, semx
+            fx_hbm.at[i, pl.ds(j * band, b2r)], sfx, semx
         )
         cy = pltpu.make_async_copy(
-            fy_hbm.at[i, pl.ds(j * band, b2)], sfy, semy
+            fy_hbm.at[i, pl.ds(j * band, b2r)], sfy, semy
         )
         cx.start()
         cy.start()
@@ -128,9 +139,9 @@ def _regfilter_pallas(dist, flow, wx, bx, wy, by, k, band=16):
         den = jnp.zeros((band, w8), jnp.float32)
         for dy in range(k):
             # rolled[r] == plane[r + dy] for r < band (never wraps:
-            # r + dy <= band - 1 + 2p < b2)
-            rx = pltpu.roll(fxb, (b2 - dy) % b2, 0)
-            ry = pltpu.roll(fyb, (b2 - dy) % b2, 0)
+            # r + dy <= band - 1 + 2p < b2r)
+            rx = pltpu.roll(fxb, (b2r - dy) % b2r, 0)
+            ry = pltpu.roll(fyb, (b2r - dy) % b2r, 0)
             for dx in range(k):
                 jj = dy * k + dx
                 sxv = pltpu.roll(rx, (wp - dx) % wp, 1)[:band, :w8]
@@ -171,8 +182,8 @@ def _regfilter_pallas(dist, flow, wx, bx, wy, by, k, band=16):
             jax.ShapeDtypeStruct((n, hp, w8), dt),
         ],
         scratch_shapes=[
-            pltpu.VMEM((b2, wp), dt),
-            pltpu.VMEM((b2, wp), dt),
+            pltpu.VMEM((b2r, wp), dt),
+            pltpu.VMEM((b2r, wp), dt),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
