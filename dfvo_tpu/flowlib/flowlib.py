@@ -257,6 +257,109 @@ def flow_kitti_error(tu, tv, u, v, mask=None, tau=(3.0, 0.05)):
     return float(np.mean(outliers)) if epe.size else 0.0
 
 
+def evaluate_flow(gt_flow, pred_flow):
+    """Mean endpoint error over pixels with nonzero GT flow
+    (ref flowlib.py:96-143 ``flow_error`` + :236-243 ``evaluate_flow``):
+    unknown-flow pixels are zeroed in BOTH fields before the nonzero-GT
+    selection, exactly as the reference does."""
+    tu = gt_flow[:, :, 0].astype(np.float64).copy()
+    tv = gt_flow[:, :, 1].astype(np.float64).copy()
+    u = pred_flow[:, :, 0].astype(np.float64).copy()
+    v = pred_flow[:, :, 1].astype(np.float64).copy()
+    unknown = (np.abs(tu) > UNKNOWN_FLOW_THRESH) | (
+        np.abs(tv) > UNKNOWN_FLOW_THRESH
+    )
+    tu[unknown] = 0
+    tv[unknown] = 0
+    u[unknown] = 0
+    v[unknown] = 0
+    nonzero = (np.abs(tu) > 0) | (np.abs(tv) > 0)
+    epe = np.sqrt((tu - u) ** 2 + (tv - v) ** 2)[nonzero]
+    return float(np.mean(epe)) if epe.size else 0.0
+
+
+def evaluate_flow_file(gt_file, pred_file):
+    """EPE between two flow files (ref flowlib.py:222-234)."""
+    return evaluate_flow(read_flow(gt_file), read_flow(pred_file))
+
+
+def _kitti_epe_acc(tu, tv, u, v, valid, tau=(3.0, 0.05)):
+    """(mean EPE, accuracy = 1 - KITTI outlier fraction) over ``valid``
+    pixels (ref flowlib.py:146-184 ``flow_kitti_error``)."""
+    n_total = np.sum(valid)
+    epe = np.sqrt((tu - u) ** 2 + (tv - v) ** 2)[valid]
+    mag = (np.sqrt(tu**2 + tv**2) + 1e-5)[valid]
+    err = (epe > tau[0]) & ((epe / mag) > tau[1])
+    if n_total == 0:
+        return 0.0, 1.0
+    return float(np.mean(epe)), 1.0 - float(np.sum(err)) / float(n_total)
+
+
+def evaluate_kitti_flow(gt_flow, pred_flow, rigid_flow=None):
+    """KITTI (EPE, accuracy) for a GT flow with or without a validity
+    channel (ref flowlib.py:246-257). ``rigid_flow`` is accepted for
+    signature parity (the reference ignores it too)."""
+    tu = gt_flow[:, :, 0].astype(np.float64)
+    tv = gt_flow[:, :, 1].astype(np.float64)
+    u = pred_flow[:, :, 0].astype(np.float64)
+    v = pred_flow[:, :, 1].astype(np.float64)
+    if gt_flow.shape[2] == 2:
+        valid = np.ones(gt_flow.shape[:2], bool)
+    else:
+        valid = gt_flow[:, :, 2] != 0
+    return _kitti_epe_acc(tu, tv, u, v, valid)
+
+
+def flow_kitti_mask_error(tu, tv, gt_mask, u, v, pd_mask):
+    """(EPE, accuracy) over pixels valid in BOTH masks
+    (ref flowlib.py:542-581)."""
+    valid = (np.asarray(gt_mask) != 0) & (np.asarray(pd_mask) != 0)
+    return _kitti_epe_acc(
+        np.asarray(tu, np.float64),
+        np.asarray(tv, np.float64),
+        np.asarray(u, np.float64),
+        np.asarray(v, np.float64),
+        valid,
+    )
+
+
+def horizontal_flip_flow(flow):
+    """Mirror a flow field left-right, negating u (ref flowlib.py:513-516)."""
+    flow = np.copy(np.fliplr(flow))
+    flow[:, :, 0] *= -1
+    return flow
+
+
+def vertical_flip_flow(flow):
+    """Mirror a flow field top-bottom, negating v (ref flowlib.py:519-522)."""
+    flow = np.copy(np.flipud(flow))
+    flow[:, :, 1] *= -1
+    return flow
+
+
+def remove_ambiguity_flow(flow_img, err_img, threshold_err=10.0):
+    """Zero flow where the error map exceeds the threshold; returns the
+    thresholded flow and a uint8 validity mask (ref flowlib.py:525-530).
+    Mutates ``flow_img`` in place, like the reference."""
+    mask_img = np.ones(err_img.shape, np.uint8)
+    bad = err_img > threshold_err
+    mask_img[bad] = 0
+    flow_img[bad] = 0.0
+    return flow_img, mask_img
+
+
+def save_flow_image(flow, image_file):
+    """Render a flow field to an image file (ref flowlib.py:72-82)."""
+    from PIL import Image
+
+    Image.fromarray(flow_to_image(flow)).save(image_file)
+
+
+def flowfile_to_imagefile(flow_file, image_file):
+    """Read a flow file and save its visualization (ref flowlib.py:85-94)."""
+    save_flow_image(read_flow(flow_file), image_file)
+
+
 def resize_flow(flow, new_h, new_w):
     """Resize flow with magnitude rescaling (ref flowlib.py:492-511)."""
     import cv2

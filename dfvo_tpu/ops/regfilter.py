@@ -98,7 +98,14 @@ def _regfilter_pallas(dist, flow, wx, bx, wy, by, k, band=16):
     # planes so the last band's window stays in bounds.
     wp = -(-(w8 + 2 * p) // 128) * 128
     b2 = band + 2 * p
-    b2r = -(-b2 // 8) * 8
+    # sublane alignment follows the plane dtype's Mosaic tiling: (8, 128)
+    # for 4-byte, (16, 128) for 2-byte, (32, 128) for 1-byte elements —
+    # the DMA'd window slice and the scratch rows must both be aligned
+    sub = {4: 8, 2: 16, 1: 32}[jnp.dtype(dt).itemsize]
+    if band % sub:
+        # DMA offsets j*band must stay sublane-aligned too
+        return _unfold_mul_xla(dist, flow, wx, bx, wy, by, k)
+    b2r = -(-b2 // sub) * sub
     row_pad_lo = p
     row_pad_hi = (hp + (b2r - band)) - h - p
     fx = jnp.pad(
@@ -107,7 +114,12 @@ def _regfilter_pallas(dist, flow, wx, bx, wy, by, k, band=16):
     fy = jnp.pad(
         flow[..., 1], ((0, 0), (row_pad_lo, row_pad_hi), (p, wp - w - p))
     )
-    assert fx.shape[1] >= (n_bands - 1) * band + b2r
+    if fx.shape[1] < (n_bands - 1) * band + b2r:
+        raise ValueError(
+            "regfilter window bounds: padded plane has "
+            f"{fx.shape[1]} rows < last band window end "
+            f"{(n_bands - 1) * band + b2r}"
+        )
     dist_t = jnp.moveaxis(dist, -1, 1)  # [N, k², H, W] (W minor)
     wvec = jnp.concatenate(
         [
