@@ -74,7 +74,6 @@ def main():
     variables = runner.frontend.prepare_variables(
         runner.frontend.load_variables(jax.random.PRNGKey(cfg.seed))
     )
-    vo_step = runner.make_vo_step()
 
     # per-sequence intrinsics, sharded with the batch
     Kj = jnp.asarray(
@@ -103,20 +102,62 @@ def main():
 
     from tqdm import tqdm
 
-    for i in tqdm(range(1, n_frames)):
-        img_cur = jnp.asarray(next_batch())
-        rngs = jax.vmap(
-            lambda k: jax.random.fold_in(jax.random.PRNGKey(cfg.seed), k)
-        )(jnp.arange(i * S, (i + 1) * S, dtype=jnp.uint32))
-        poses, modes, depth_ref = vo_step(
-            variables, img_cur, img_ref, depth_ref, prev, rngs, Kj, Kij
+    base = jax.random.PRNGKey(cfg.seed)
+    execution = str(cfg.tpu.get("execution", "frame"))
+    if execution == "scan":
+        # chunked on-device frame loop per sequence (same program as the
+        # single-sequence tpu.execution: scan path, shard_mapped over seq)
+        chunk_step = runner.make_chunk_step()
+        T = int(cfg.tpu.scan_chunk)
+        h, w = cfg.image.height, cfg.image.width
+        carry = (
+            img_ref,
+            depth_ref,
+            prev,
+            jnp.ones((S,), jnp.float32),
         )
-        prev = poses
-        img_ref = img_cur
-        rel = np.asarray(poses, np.float64)
-        for s in range(S):
-            globals_np[s] = globals_np[s] @ rel[s]
-            trajs[s][i] = globals_np[s].copy()
+        pbar = tqdm(total=n_frames)
+        pbar.update(1)
+        for start in range(1, n_frames, T):
+            ids = list(range(start, min(start + T, n_frames)))
+            imgs = np.empty((S, T, h, w, 3), np.uint8)
+            for j, _ in enumerate(ids):
+                frame = next_batch()  # [S x H x W x 3]
+                imgs[:, j] = frame
+            for j in range(len(ids), T):  # static chunk shape
+                imgs[:, j] = imgs[:, len(ids) - 1]
+            id_pad = ids + [ids[-1]] * (T - len(ids))
+            rngs = jax.vmap(
+                lambda i: jax.vmap(
+                    lambda s: jax.random.fold_in(jax.random.fold_in(base, i), s)
+                )(jnp.arange(S, dtype=jnp.uint32))
+            )(jnp.asarray(id_pad)).swapaxes(0, 1)  # [S x T x 2]
+            poses, modes, carry = chunk_step(
+                variables, jnp.asarray(imgs), carry, rngs, Kj, Kij
+            )
+            rel = np.asarray(poses, np.float64)[:, : len(ids)]
+            for s in range(S):
+                for j, i in enumerate(ids):
+                    globals_np[s] = globals_np[s] @ rel[s, j]
+                    trajs[s][i] = globals_np[s].copy()
+            pbar.update(len(ids))
+        pbar.close()
+    else:
+        vo_step = runner.make_vo_step()
+        for i in tqdm(range(1, n_frames)):
+            img_cur = jnp.asarray(next_batch())
+            rngs = jax.vmap(
+                lambda k: jax.random.fold_in(base, k)
+            )(jnp.arange(i * S, (i + 1) * S, dtype=jnp.uint32))
+            poses, modes, depth_ref = vo_step(
+                variables, img_cur, img_ref, depth_ref, prev, rngs, Kj, Kij
+            )
+            prev = poses
+            img_ref = img_cur
+            rel = np.asarray(poses, np.float64)
+            for s in range(S):
+                globals_np[s] = globals_np[s] @ rel[s]
+                trajs[s][i] = globals_np[s].copy()
 
     result_dir = cfg.directory.result_dir
     mkdir_if_not_exists(result_dir)

@@ -61,8 +61,12 @@ def correlation(f1, f2, max_disp=3, stride=1, use_pallas=None):
     ``use_pallas`` forces the choice (tests exercise both paths).
     """
     if use_pallas is None:
-        use_pallas = f1.ndim == 4 and any(
-            d.platform == "tpu" for d in jax.devices()
+        import os
+
+        use_pallas = (
+            os.environ.get("DFVO_CORR_PALLAS", "1") != "0"
+            and f1.ndim == 4
+            and any(d.platform == "tpu" for d in jax.devices())
         )
     if use_pallas:
         # VMEM sizing (whole-item vs row-banded kernel) is handled inside

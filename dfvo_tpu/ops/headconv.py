@@ -177,9 +177,12 @@ def _headconv_fused(x, kernel, bias, prepadded):
     if prepadded:
         h, w = h - (k - 1), w - (k - 1)
     cout = kernel.shape[3]
+    import os
+
     p = _pick_pack(w, cout)
     use_pallas = (
-        p is not None
+        os.environ.get("DFVO_HEADCONV_PALLAS", "1") != "0"
+        and p is not None
         and k > 1  # 1x1 heads are a cheap fused reduce in XLA already
         and w >= 160
         and h >= 8

@@ -110,6 +110,72 @@ class MultiSeqRunner:
         return fn
 
     # ------------------------------------------------------------------
+    def make_chunk_step(self):
+        """Sharded CHUNKED VO step (``tpu.execution: scan`` across a mesh).
+
+        Each device runs the fused scan-mode chunk program
+        (pipeline/scan_runner.py:make_chunk_step) on its own sequences: T
+        frames per dispatch instead of one, so the multi-sequence CLI gets
+        the same dispatch amortization as the single-sequence scan path.
+
+        Returns a jitted fn(variables, imgs_u8 [S x T x H x W x 3],
+        carry (img_ref_u8 [S], depth_ref [S], prev_motion [S x 4 x 4],
+        prev_scale [S]), rngs [S x T x 2], K [S x 3 x 3], K_inv [S]) ->
+        (poses [S x T x 4 x 4], modes [S x T], new carry), everything but
+        the replicated variables sharded over ``seq``.
+        """
+        key = (
+            self.frontend.static_key(),
+            self.tcfg,
+            self.mesh,
+            self.axis_name,
+            "chunk",
+        )
+        cached = _VO_STEP_CACHE.get(key)
+        if cached is not None:
+            return cached
+        from ..pipeline.scan_runner import make_chunk_step as _build
+
+        chunk_fn, _ = _build(self.frontend, self.tcfg)
+
+        def local_chunk(variables, imgs, carry, rngs, K, K_inv):
+            if imgs.shape[0] == 1:
+                # one sequence per device (the common deployment): run the
+                # chunk program directly so the deferred-PnP lax.cond stays
+                # a real branch (an outer vmap would lower it to a select
+                # that executes the fallback for every chunk)
+                poses, modes, nc = chunk_fn(
+                    variables,
+                    imgs[0],
+                    jax.tree.map(lambda c: c[0], carry),
+                    rngs[0],
+                    K[0],
+                    K_inv[0],
+                )
+                return (
+                    poses[None],
+                    modes[None],
+                    jax.tree.map(lambda c: c[None], nc),
+                )
+            return jax.vmap(
+                lambda im, ca, rg, k, ki: chunk_fn(
+                    variables, im, ca, rg, k, ki
+                )
+            )(imgs, carry, rngs, K, K_inv)
+
+        axis = self.axis_name
+        sharded = jax.shard_map(
+            local_chunk,
+            mesh=self.mesh,
+            in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis)),
+            out_specs=(P(axis), P(axis), P(axis)),
+            check_vma=False,
+        )
+        fn = jax.jit(sharded)
+        _VO_STEP_CACHE[key] = fn
+        return fn
+
+    # ------------------------------------------------------------------
     def make_train_step(self):
         """Sharded distributed finetuning step (data-parallel over ``seq``).
 

@@ -292,7 +292,23 @@ class DFVO:
         return mode
 
     def main(self, start_frame=0, num_frames=None):
-        """Run the full sequence (ref dfvo.py:347-425)."""
+        """Run the full sequence (ref dfvo.py:347-425).
+
+        ``tpu.execution`` selects the frame loop: ``frame`` (default;
+        one fused device step per frame — required for online finetuning,
+        deep_pose tracking, gt depth and full per-frame visualization) or
+        ``scan`` (chunked on-device loop via :class:`ScanRunner` — the
+        benchmark-grade throughput path; SURVEY.md §7 "scanned over the
+        sequence"). Scan mode draws the trajectory map only (the
+        per-frame diagnostic tiles need per-frame host data by design).
+        """
+        execution = str(self.cfg.tpu.get("execution", "frame"))
+        if execution == "scan":
+            return self._main_scan(start_frame, num_frames)
+        if execution != "frame":
+            raise ValueError(
+                f"tpu.execution must be 'frame' or 'scan', got {execution!r}"
+            )
         print("==> Start DF-VO")
         print(f"==> Running sequence: {self.cfg.seq}")
         end = len(self.dataset)
@@ -322,6 +338,132 @@ class DFVO:
             self.timers.end("DF-VO")
         if prefetcher is not None:
             prefetcher.close()
+        print("=> Finish!")
+        self.save_results()
+
+    # ------------------------------------------------------------------
+    def _main_scan(self, start_frame=0, num_frames=None):
+        """Chunked on-device frame loop behind the user CLI.
+
+        Identical math to the per-frame loop (tests/test_scan_runner.py
+        proves chunk-vs-sequential pose equality; per-frame rng keys are
+        reproduced by folding the true frame ids), restructured for
+        throughput: T frames per device dispatch, one [T x 4 x 4] pose
+        download per chunk, images decoded ahead by the native prefetcher.
+        """
+        unsupported = []
+        if self.tracking_method == "deep_pose":
+            unsupported.append("tracking_method: deep_pose")
+        if self.finetuner is not None:
+            unsupported.append("online_finetune.enable")
+        if self.use_gt_depth:
+            unsupported.append("depth_src: gt")
+        if self.cfg.deep_pose.enable:
+            unsupported.append("deep_pose.enable")
+        if unsupported:
+            raise ValueError(
+                "tpu.execution: scan does not support "
+                + ", ".join(unsupported)
+                + " (these need per-frame host state; use tpu.execution: "
+                "frame — see docs/tpu_design.md)"
+            )
+        from .scan_runner import ScanRunner
+
+        print("==> Start DF-VO (scan execution)")
+        print(f"==> Running sequence: {self.cfg.seq}")
+        runner = ScanRunner(self.cfg, frontend=self.frontend)
+        chunk = runner.chunk
+        end = len(self.dataset)
+        if num_frames is not None:
+            end = min(end, start_frame + num_frames)
+        frame_ids = list(range(start_frame, end, self.cfg.frame_step))
+        if not frame_ids:
+            print("=> Finish!")
+            return self.save_results()
+
+        prefetcher = None
+        if hasattr(self.dataset, "get_image_path"):
+            from ..utils.native_loader import make_prefetcher
+
+            paths = [
+                self.dataset.get_image_path(self.dataset.get_timestamp(i))
+                for i in frame_ids
+            ]
+            prefetcher = make_prefetcher(
+                paths, self.cfg.image.height, self.cfg.image.width
+            )
+
+        def load(i):
+            if prefetcher is not None:
+                return prefetcher.next()[1]
+            return self.dataset.get_image(self.dataset.get_timestamp(i))
+
+        # frame 0: global-pose init (+ reference depth), as run_frame does
+        first = frame_ids[0]
+        if self.cfg.directory.gt_pose_dir is not None:
+            pose0 = SE3(
+                self.dataset.gt_poses[min(self.dataset.gt_poses.keys())]
+            )
+        else:
+            pose0 = SE3()
+        self.global_poses = {first: pose0.copy()}
+        self.cur_data["id"] = first
+        img0 = load(first)
+        with self.timers.scope("depth_cnn", "DF-VO"):
+            img0_dev = jnp.asarray(img0, jnp.uint8)
+            depth0 = runner._init_depth(self.infer_variables, img0_dev)
+        carry = (
+            img0_dev,
+            depth0,
+            jnp.eye(4, dtype=jnp.float32),
+            jnp.asarray(1.0, jnp.float32),
+        )
+
+        base = jax.random.PRNGKey(self.cfg.seed)
+        rest = frame_ids[1:]
+        h, w = self.cfg.image.height, self.cfg.image.width
+        pbar = tqdm(total=len(frame_ids))
+        pbar.update(1)
+        for c0 in range(0, len(rest), chunk):
+            self.timers.start("DF-VO")
+            ids = rest[c0 : c0 + chunk]
+            with self.timers.scope("data_loading", "DF-VO"):
+                imgs = np.empty((chunk, h, w, 3), np.uint8)
+                for j, i in enumerate(ids):
+                    imgs[j] = load(i)
+                for j in range(len(ids), chunk):  # static chunk shape
+                    imgs[j] = imgs[len(ids) - 1]
+                # per-frame rng keys fold the TRUE frame ids, so scan and
+                # frame execution see identical RANSAC draws
+                id_pad = ids + [ids[-1]] * (chunk - len(ids))
+                rngs = jax.vmap(lambda i: jax.random.fold_in(base, i))(
+                    jnp.asarray(id_pad)
+                )
+            with self.timers.scope("vo_step", "DF-VO"):
+                poses, modes, carry = runner._chunk_step(
+                    self.infer_variables,
+                    jnp.asarray(imgs),
+                    carry,
+                    rngs,
+                    self.K,
+                    self.K_inv,
+                )
+                rel = np.asarray(poses, np.float64)[: len(ids)]
+            prev = self.global_poses[frame_ids[c0]].pose
+            for j, i in enumerate(ids):
+                prev = prev @ rel[j]
+                self.global_poses[i] = SE3(prev)
+            if self.drawer is not None:
+                with self.timers.scope("visualization", "DF-VO"):
+                    for i in ids:
+                        self.cur_data["id"] = i
+                        self.drawer.draw_traj(self)
+            pbar.update(len(ids))
+            self.timers.end("DF-VO")
+        pbar.close()
+        if prefetcher is not None:
+            prefetcher.close()
+        self.tracking_stage = len(frame_ids)
         print("=> Finish!")
         self.save_results()
 

@@ -13,7 +13,6 @@ pairs").
 """
 
 import dataclasses
-import functools
 
 import numpy as np
 
@@ -31,40 +30,24 @@ from .tracking import TrackingConfig, pnp_fallback, tracking_step
 _CHUNK_FN_CACHE = {}
 
 
-class ScanRunner:
-    """Chunked on-device VO over a frame stream."""
+def make_chunk_step(frontend, tcfg):
+    """Build the (un-jitted) fused chunk-step function for a frontend +
+    tracking config. ScanRunner jits it directly; MultiSeqRunner shard_maps
+    it over a sequence mesh (one chunk program per device)."""
+    # the only cross-frame dependencies inside tracking are the
+    # constant-motion fallback pose and the prev_scale seed of the
+    # ITERATIVE scale mode; with simple scale recovery (the default)
+    # every frame's tracking is independent, so it runs as one vmap
+    # (one kernel per op for the whole chunk) followed by an exact,
+    # trivially cheap fix-up scan that substitutes the fallback poses.
+    # The sequential lax.scan (16x the kernel-launch latency — ~1.5
+    # ms/frame of the round-2 device profile) remains only for the
+    # iterative-scale configuration.
+    parallel_tracking = tcfg.scale_method == "simple"
 
-    def __init__(self, cfg, frontend=None):
-        self.cfg = cfg
-        self.frontend = frontend or DeepFrontend(cfg)
-        self.tcfg = TrackingConfig.from_cfg(cfg)
-        self.chunk = int(cfg.tpu.scan_chunk)
-        self._build()
+    from .tracking import TRACK_MODE_CONST
 
-    def _build(self):
-        key = (self.frontend.static_key(), self.tcfg)
-        cached = _CHUNK_FN_CACHE.get(key)
-        if cached is not None:
-            self._chunk_step, self._init_depth = cached
-            return
-        frontend = self.frontend
-        tcfg = self.tcfg
-
-        # the only cross-frame dependencies inside tracking are the
-        # constant-motion fallback pose and the prev_scale seed of the
-        # ITERATIVE scale mode; with simple scale recovery (the default)
-        # every frame's tracking is independent, so it runs as one vmap
-        # (one kernel per op for the whole chunk) followed by an exact,
-        # trivially cheap fix-up scan that substitutes the fallback poses.
-        # The sequential lax.scan (16x the kernel-launch latency — ~1.5
-        # ms/frame of the round-2 device profile) remains only for the
-        # iterative-scale configuration.
-        parallel_tracking = tcfg.scale_method == "simple"
-
-        from .tracking import TRACK_MODE_CONST
-
-        @functools.partial(jax.jit, donate_argnums=())
-        def chunk_step(variables, imgs_u8, carry, rngs, K, K_inv, oracle=None):
+    def chunk_step(variables, imgs_u8, carry, rngs, K, K_inv, oracle=None):
             """imgs_u8: [T x H x W x 3]; carry = (img_ref_u8, depth_ref_raw,
             prev_motion, prev_scale). Returns ([T x 4 x 4] relative poses,
             [T] modes, new carry).
@@ -236,16 +219,34 @@ class ScanRunner:
             )
             return poses, modes, new_carry
 
-        self._chunk_step = chunk_step
+    def init_depth(variables, img_u8):
+        img = img_u8.astype(jnp.float32) / 255.0
+        out = frontend.depth_net.apply(variables["depth"], img[None])
+        return out["depth"][0]
 
-        @jax.jit
-        def init_depth(variables, img_u8):
-            img = img_u8.astype(jnp.float32) / 255.0
-            out = frontend.depth_net.apply(variables["depth"], img[None])
-            return out["depth"][0]
+    return chunk_step, init_depth
 
-        self._init_depth = init_depth
-        _CHUNK_FN_CACHE[key] = (chunk_step, init_depth)
+
+class ScanRunner:
+    """Chunked on-device VO over a frame stream."""
+
+    def __init__(self, cfg, frontend=None):
+        self.cfg = cfg
+        self.frontend = frontend or DeepFrontend(cfg)
+        self.tcfg = TrackingConfig.from_cfg(cfg)
+        self.chunk = int(cfg.tpu.scan_chunk)
+        self._build()
+
+    def _build(self):
+        key = (self.frontend.static_key(), self.tcfg)
+        cached = _CHUNK_FN_CACHE.get(key)
+        if cached is not None:
+            self._chunk_step, self._init_depth = cached
+            return
+        chunk_step, init_depth = make_chunk_step(self.frontend, self.tcfg)
+        self._chunk_step = jax.jit(chunk_step)
+        self._init_depth = jax.jit(init_depth)
+        _CHUNK_FN_CACHE[key] = (self._chunk_step, self._init_depth)
 
     def run(self, variables, frames, K, K_inv, rng_seed=0):
         """Track a whole in-memory sequence.

@@ -112,7 +112,8 @@ def test_dryrun_multichip_entrypoint():
 # virtual 8-device mesh -> per-sequence trajectory files -> eval tool
 # ---------------------------------------------------------------------------
 @pytest.mark.xdist_group("multiseq")
-def test_multiseq_cli_end_to_end(tmp_path):
+@pytest.mark.parametrize("execution", ["frame", "scan"])
+def test_multiseq_cli_end_to_end(tmp_path, execution):
     import os
     import sys
 
@@ -160,6 +161,8 @@ def test_multiseq_cli_end_to_end(tmp_path):
         f"    result_dir: {tmp_path / 'result'}\n"
         "tpu:\n"
         "    ransac_hypotheses: 32\n"
+        f"    execution: {execution}\n"
+        "    scan_chunk: 2\n"  # 4 tracked frames -> 2 chunks per sequence
     )
 
     import runpy

@@ -103,6 +103,11 @@ def main():
         "sequence under the default config (the deferred-PnP cond skips "
         "dynamically instead of being compiled out)",
     )
+    ap.add_argument(
+        "--time-only", action="store_true",
+        help="skip tracing; print delta-workload ms/frame of the chunk "
+        "step (for quick A/B of op variants via DFVO_*_PALLAS env toggles)",
+    )
     args = ap.parse_args()
 
     from dfvo_tpu.utils.cache import enable_compilation_cache
@@ -188,6 +193,28 @@ def main():
     print("[profile] warmup (compile + handshake)...")
     step()
     step()
+
+    if args.time_only:
+        import time as _time
+
+        def timed(k):
+            t0 = _time.perf_counter()
+            for _ in range(k):
+                step()
+            return _time.perf_counter() - t0
+
+        k1, k2 = 2, 8
+        t1 = min(timed(k1) for _ in range(3))
+        t2 = min(timed(k2) for _ in range(3))
+        ms_frame = (t2 - t1) / (k2 - k1) / chunk * 1e3
+        toggles = {
+            k: os.environ.get(k, "1")
+            for k in ("DFVO_CORR_PALLAS", "DFVO_HEADCONV_PALLAS",
+                      "DFVO_REGFILTER_PALLAS")
+        }
+        print(f"[time] {ms_frame:.3f} ms/frame  (chunk={chunk}, "
+              f"coherent={args.coherent}) toggles={toggles}")
+        return
 
     print(f"[profile] tracing {args.reps} chunk steps -> {args.outdir}")
     jax.profiler.start_trace(args.outdir)
