@@ -48,6 +48,11 @@ class TrackingConfig:
     """Static (hashable) tracking configuration distilled from the YAML
     option surface (options/examples/default_configuration.yml)."""
 
+    # tracker dispatch (ref default_configuration.yml:132, dfvo.py:164-249):
+    # hybrid = E-tracker with PnP fallback; PnP = PnP every frame (the
+    # tracker_pnp ablation). deep_pose never reaches tracking_step (the
+    # pipeline short-circuits it, pipeline/dfvo.py).
+    tracking_method: str = "hybrid"
     # image / kp selection
     height: int = 192
     width: int = 640
@@ -126,7 +131,18 @@ class TrackingConfig:
         else:
             raise ValueError("no keypoint selection method enabled")
         cls._check_kp_src(cfg, kp_method)
+        method = str(cfg.tracking_method)
+        if method not in ("hybrid", "PnP", "deep_pose"):
+            raise ValueError(
+                "tracking_method must be one of [hybrid, PnP, deep_pose], "
+                f"got {method!r}"
+            )
+        if method == "PnP" and bool(cfg.tpu.get("force_e_path", False)):
+            raise ValueError(
+                "tpu.force_e_path contradicts tracking_method: PnP"
+            )
         return cls(
+            tracking_method=method,
             height=cfg.image.height,
             width=cfg.image.width,
             kp_method=kp_method,
@@ -400,6 +416,28 @@ def tracking_step(
 
     keys = jax.random.split(rng, 8)
 
+    if tcfg.tracking_method == "PnP":
+        # PnP-only tracker (ref ablation_tracker_pnp.yml, dfvo.py:226-250
+    	# with the E-tracker block skipped: E_pose stays identity, so the
+        # `norm(t) == 0` test routes EVERY good-kp frame through PnP)
+        n = kp_ref.shape[0]
+        e_out = {
+            "R": jnp.eye(3, dtype=jnp.float32),
+            "t": jnp.zeros(3, jnp.float32),
+            "valid": jnp.array(False),
+            "inliers": jnp.zeros(n, bool),
+            "inlier_cnt": jnp.asarray(0),
+        }
+        T_e = jnp.eye(4, dtype=jnp.float32)
+        scale = jnp.asarray(-1.0, jnp.float32)
+        e_success = jnp.array(False)
+        pose_e = T_e
+        return _finish_tracking_step(
+            rng, tcfg, kp, kp_ref, kp_cur, valid, e_out, e_success, pose_e,
+            scale, prev_motion, depth_ref, depth_cur, depth_ref_raw,
+            flow_fwd, flow_diff, K, K_inv,
+        )
+
     # ---- E-tracker (first pass; 3 repeats when a refined pass follows,
     # ref E_tracker.py:179) -------------------------------------------------
     e_out = compute_pose_2d2d(
@@ -510,7 +548,22 @@ def tracking_step(
 
     e_success = e_out["valid"] & (scale != -1.0)
     pose_e = T_e.at[:3, 3].multiply(scale)
+    return _finish_tracking_step(
+        rng, tcfg, kp, kp_ref, kp_cur, valid, e_out, e_success, pose_e,
+        scale, prev_motion, depth_ref, depth_cur, depth_ref_raw,
+        flow_fwd, flow_diff, K, K_inv,
+    )
 
+
+def _finish_tracking_step(
+    rng, tcfg, kp, kp_ref, kp_cur, valid, e_out, e_success, pose_e, scale,
+    prev_motion, depth_ref, depth_cur, depth_ref_raw, flow_fwd, flow_diff,
+    K, K_inv,
+):
+    """Decision-tree tail shared by the hybrid and PnP-only trackers: the
+    PnP dispatch (fallback in hybrid mode; the whole tracker in PnP mode,
+    where ``e_success`` is statically False), constant-motion substitution,
+    and the output dict."""
     # ---- PnP fallback (ref dfvo.py:227-250) -------------------------------
     def run_pnp(_):
         return pnp_fallback(

@@ -255,7 +255,7 @@ def apply_overrides(cfg, overrides):
 # reference pipeline runner
 # ---------------------------------------------------------------------------
 def run_reference(depths, flows, tmp_path, diffs=None, overrides=None,
-                  n_frames=None):
+                  n_frames=None, deep_poses=None):
     _install_shims()
     import importlib
 
@@ -339,6 +339,12 @@ def run_reference(depths, flows, tmp_path, diffs=None, overrides=None,
                 )
             else:
                 self.ref_data["flow_diff"] = diffs[i - 1].reshape(H, W, 1)
+            if deep_poses is not None:
+                # the pose-CNN output the depth-consistency filter consumes
+                # (ref dfvo.py:338-344: cur->ref pose into ref_data)
+                self.ref_data["deep_pose"] = np.asarray(
+                    deep_poses[i - 1], np.float32
+                )
 
     vo.deep_model_inference = types.MethodType(fake_inference, vo)
 
@@ -354,7 +360,8 @@ def run_reference(depths, flows, tmp_path, diffs=None, overrides=None,
 # this repo's pipeline runner (same oracle injection point: the tracking
 # stack consumes frontend outputs; pose chaining mirrors pipeline/dfvo.py)
 # ---------------------------------------------------------------------------
-def run_ours(depths, flows, diffs=None, overrides=None, n_frames=None):
+def run_ours(depths, flows, diffs=None, overrides=None, n_frames=None,
+             deep_poses=None):
     from dfvo_tpu.pipeline.tracking import TrackingConfig, tracking_step
     from dfvo_tpu.utils import ConfigLoader
 
@@ -390,6 +397,10 @@ def run_ours(depths, flows, diffs=None, overrides=None, n_frames=None):
             Kij,
             tcfg,
             prev_scale=prev_scale,
+            deep_pose=(
+                None if deep_poses is None
+                else jnp.asarray(deep_poses[i - 1], jnp.float32)
+            ),
         )
         T = np.asarray(out["pose"], np.float64)
         modes.append(int(out["mode"]))
@@ -520,6 +531,12 @@ ABLATIONS = {
     "flow_validity": {
         "e_tracker": {"validity": {"method": "flow", "thre": 5}},
     },
+    # PnP-only tracker (ref ablation_tracker_pnp.yml: the E-tracker block
+    # is skipped, E_pose stays identity, and dfvo.py:227 routes every
+    # good-kp frame through PnP)
+    "tracker_pnp": {
+        "tracking_method": "PnP",
+    },
 }
 
 N_ABL = 12  # frames per ablation run (bounds suite wall-time)
@@ -585,6 +602,51 @@ class TestAblationParity:
         ate_cross = ate(our_traj, ref_traj)
         print(
             f"\n{name}: ate(ref,gt)={ate_ref_gt:.3f} "
+            f"ate(ours,gt)={ate_our_gt:.3f} ate(ours,ref)={ate_cross:.3f} "
+            f"modes={modes}"
+        )
+        assert ate_ref_gt < 0.03 * total_len
+        assert ate_our_gt < 0.03 * total_len
+        assert ate_cross < 0.03 * total_len
+
+    def test_depth_consistency_parity(self, oracle, tmp_path_factory):
+        """kp_selection.depth_consistency (ref depth_consistency.py:153,
+        default_configuration.yml:124-126): CNN-pose depth-consistency
+        filtering, driven through BOTH systems. Even-indexed frames carry a
+        corrupted depth block, so every pair's depth_diff flags the block
+        and both selectors must reject keypoints there; the deep pose both
+        filters consume is the oracle motion (the reference reads it from
+        ref_data['deep_pose'], dfvo.py:344)."""
+        depths, bad_flows, diffs, motions = oracle
+        depths = [d.copy() for d in depths[:N_ABL]]
+        bad_flows, diffs = bad_flows[: N_ABL - 1], diffs[: N_ABL - 1]
+        motions = motions[: N_ABL - 1]
+        y0, y1, x0, x1 = H // 3, H // 3 + H // 5, W // 4, W // 4 + W // 5
+        for i in range(0, N_ABL, 2):
+            depths[i][y0:y1, x0:x1] *= 2.0  # bad depth-CNN region
+        overrides = {
+            "kp_selection": {
+                "depth_consistency": {"enable": True, "thre": 0.05},
+            },
+        }
+        gt = chain(motions)
+        tmp = tmp_path_factory.mktemp("ref_e2e_depth_cons")
+
+        ref_traj = run_reference(
+            depths, bad_flows, tmp, diffs=diffs, overrides=overrides,
+            n_frames=N_ABL, deep_poses=motions,
+        )
+        our_traj, modes = run_ours(
+            depths, bad_flows, diffs=diffs, overrides=overrides,
+            n_frames=N_ABL, deep_poses=motions,
+        )
+
+        total_len = sum(np.linalg.norm(m[:3, 3]) for m in motions)
+        ate_ref_gt = ate(ref_traj, gt)
+        ate_our_gt = ate(our_traj, gt)
+        ate_cross = ate(our_traj, ref_traj)
+        print(
+            f"\ndepth_consistency: ate(ref,gt)={ate_ref_gt:.3f} "
             f"ate(ours,gt)={ate_our_gt:.3f} ate(ours,ref)={ate_cross:.3f} "
             f"modes={modes}"
         )
