@@ -58,18 +58,29 @@ class OnlineFinetuner:
                 f"pose_src {self.pose_src!r} needs the pose CNN "
                 "(deep_pose.enable: True)"
             )
-        if self.train_flow and getattr(frontend, "flow_kind", "liteflow") != "liteflow":
-            raise NotImplementedError(
-                "online flow finetuning supports the LiteFlowNet path "
-                "(the reference finetunes LiteFlowNet only; HD3's training "
-                "losses are a separate objective, hd3losses.py)"
+        if self.train_flow and getattr(frontend, "flow_kind", "liteflow") not in (
+            "liteflow",
+            "hd3",
+        ):
+            raise ValueError(
+                "online flow finetuning supports liteflow and hd3 "
+                f"(got {frontend.flow_kind!r})"
             )
         self.optimizer = optax.adam(self.lr)
         self.update = self.make_update_fn()
 
     # -- loss pieces --------------------------------------------------------
     def flow_loss(self, flow_vars, img_ref, img_cur):
-        """Flow finetuning loss over cfg scales (ref deep_flow.py:226-344)."""
+        """Flow finetuning loss over cfg scales (ref deep_flow.py:226-344).
+
+        The generic DeepFlow losses apply to both flow nets: LiteFlowNet
+        exposes a real pyramid (flows[s] at scale s), while the reference's
+        HD3 "multi-scale" dict maps every configured scale to the SAME
+        final-level vector resized to full resolution
+        (ref hd3_flow.py:139-146: ``output['vect'] * 1/2**(7-levels)``
+        duplicated over ``flow_scales``), so for hd3 only the 1/2^s loss
+        weights differ per scale.
+        """
         h, w = self.frontend.h, self.frontend.w
         img1 = jnp.concatenate([img_ref, img_cur], axis=0)  # fwd+bwd batch
         img2 = jnp.concatenate([img_cur, img_ref], axis=0)
@@ -79,7 +90,15 @@ class OnlineFinetuner:
 
             img1 = resize_bilinear(img1, th, tw, align_corners=True)
             img2 = resize_bilinear(img2, th, tw, align_corners=True)
-        flows = self.frontend.flow_net.apply(flow_vars, img1, img2)
+        if getattr(self.frontend, "flow_kind", "liteflow") == "hd3":
+            _, ms_vect = self.frontend.flow_net.apply(flow_vars, img1, img2)
+            levels = len(ms_vect)
+            final = ms_vect[-1].astype(jnp.float32) * (1.0 / 2 ** (7 - levels))
+            flows = None
+            hd3_full = resize_dense_flow(final, h, w)
+        else:
+            flows = self.frontend.flow_net.apply(flow_vars, img1, img2)
+            hd3_full = None
 
         w_cons = self.ft_cfg.flow.loss.flow_consistency
         w_smooth = self.ft_cfg.flow.loss.flow_smoothness
@@ -87,7 +106,9 @@ class OnlineFinetuner:
 
         total = 0.0
         for s in scales:
-            flow_full = resize_dense_flow(flows[s], h, w)
+            flow_full = (
+                hd3_full if flows is None else resize_dense_flow(flows[s], h, w)
+            )
             f_fwd, f_bwd = flow_full[0:1], flow_full[1:2]
 
             # photometric: warp cur into ref view by the forward flow

@@ -62,6 +62,52 @@ def test_online_finetune_updates_flow_weights(synthetic_kitti, tmp_path):
     assert os.path.isdir(tmp_path / "result" / "finetuned_model")
 
 
+def test_online_finetune_hd3_flow():
+    """HD3 online flow finetuning (ref inherits the DeepFlow losses,
+    deep_flow.py:226-355, via HD3Flow — hd3_flow.py:70): one optax step
+    through the full HD3 net produces a finite loss and moves the weights."""
+    import jax.numpy as jnp
+
+    from dfvo_tpu.pipeline.finetune import OnlineFinetuner
+    from dfvo_tpu.pipeline.frontend import DeepFrontend
+
+    cfg = ConfigLoader().merge_cfg(
+        [os.path.join(REPO, "options/examples/default_configuration.yml")]
+    )
+    cfg.image.height = 64
+    cfg.image.width = 96
+    cfg.deep_flow.network = "hd3"
+    cfg.online_finetune.enable = True
+    cfg.online_finetune.flow.enable = True
+    cfg.online_finetune.flow.scales = [1]
+    cfg.online_finetune.depth.enable = False
+
+    frontend = DeepFrontend(cfg)
+    finetuner = OnlineFinetuner(frontend, cfg)
+    variables = frontend.init_variables(jax.random.PRNGKey(0))
+    K = np.array([[50.0, 0, 48], [0, 50.0, 32], [0, 0, 1]], np.float32)
+    opt_state = finetuner.init_state(variables, K, np.linalg.inv(K))
+
+    rng = np.random.RandomState(0)
+    img_ref = jnp.asarray(rng.rand(64, 96, 3).astype(np.float32))
+    img_cur = jnp.asarray(rng.rand(64, 96, 3).astype(np.float32))
+    pose = jnp.eye(4, dtype=jnp.float32)
+
+    before = [
+        np.asarray(x).copy()
+        for x in jax.tree.leaves(variables["flow"]["params"])
+    ]
+    variables, opt_state, loss = finetuner.update(
+        variables, opt_state, img_ref, img_cur, pose
+    )
+    assert np.isfinite(float(loss))
+    delta = sum(
+        float(np.abs(np.asarray(a) - b).sum())
+        for a, b in zip(jax.tree.leaves(variables["flow"]["params"]), before)
+    )
+    assert delta > 1e-4, "hd3 flow weights not updated"
+
+
 class TestPoseSrc:
     """The three depth-loss pose sources (ref deep_models.py:257-266)."""
 
