@@ -29,12 +29,20 @@ def _hartley_transform(p, weights=None):
     centered = p[:, :2] - mean
     dist = jnp.sqrt(jnp.sum(centered**2, axis=-1) + 1e-12)
     scale = jnp.sqrt(2.0) / jnp.maximum(jnp.sum(dist * w) / wsum, 1e-12)
-    T = jnp.array(
-        [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]], p.dtype
-    )
-    T = T.at[0, 0].set(scale).at[1, 1].set(scale)
-    T = T.at[0, 2].set(-scale * mean[0]).at[1, 2].set(-scale * mean[1])
-    return T
+    # one stack+reshape, not a .at[].set chain: under the [frames x hyps]
+    # RANSAC vmap each .at lowers to a separate serialized dynamic-update-
+    # slice pass over the whole [B,hyps,3,3] buffer (~0.19 ms/frame in the
+    # round-4 device trace, %dynamic-update-slice.60-66)
+    zero = jnp.zeros_like(scale)
+    one = jnp.ones_like(scale)
+    return jnp.stack(
+        [
+            scale, zero, -scale * mean[0],
+            zero, scale, -scale * mean[1],
+            zero, zero, one,
+        ],
+        axis=-1,
+    ).reshape(scale.shape + (3, 3))
 
 
 @highp

@@ -68,11 +68,14 @@ def cholesky_unrolled(M):
                 s = s - cols[i][k] * cols[j][k]
             cols[i][j] = s * inv_d
     zero = jnp.zeros_like(M[..., 0, 0])
-    rows = [
-        jnp.stack([cols[i][j] if j <= i else zero for j in range(n)], axis=-1)
+    # one flat n²-way stack (single concatenate pass; nested trailing-axis
+    # stacks lower to serialized dynamic-update-slice chains under vmap)
+    flat = [
+        cols[i][j] if j <= i else zero
         for i in range(n)
+        for j in range(n)
     ]
-    return jnp.stack(rows, axis=-2)
+    return jnp.stack(flat, axis=-1).reshape(zero.shape + (n, n))
 
 
 def tril_inverse_unrolled(L):
@@ -93,8 +96,8 @@ def tril_inverse_unrolled(L):
                 for k in range(j, i):
                     s = s + L[..., i, k] * X[k][j]
                 X[i][j] = -s * inv_diag[i]
-    rows = [jnp.stack(X[i], axis=-1) for i in range(n)]
-    return jnp.stack(rows, axis=-2)
+    flat = [X[i][j] for i in range(n) for j in range(n)]
+    return jnp.stack(flat, axis=-1).reshape(zero.shape + (n, n))
 
 
 def spd_inverse_small(M):
@@ -173,14 +176,17 @@ def inv_3x3(M):
     C = d * h - e * g
     det = a * A + b * B + c * C
     inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    # single 9-way stack + reshape (one concatenate pass) — nested stacks
+    # on the two trailing axes lowered to a serialized dynamic-update-slice
+    # chain over [B,hyps,3,3] under the RANSAC vmap (round-4 device trace)
     adj = jnp.stack(
         [
-            jnp.stack([A, -(b * i - c * h), b * f - c * e], axis=-1),
-            jnp.stack([B, a * i - c * g, -(a * f - c * d)], axis=-1),
-            jnp.stack([C, -(a * h - b * g), a * e - b * d], axis=-1),
+            A, -(b * i - c * h), b * f - c * e,
+            B, a * i - c * g, -(a * f - c * d),
+            C, -(a * h - b * g), a * e - b * d,
         ],
-        axis=-2,
-    )
+        axis=-1,
+    ).reshape(A.shape + (3, 3))
     return adj * inv_det[..., None, None]
 
 
