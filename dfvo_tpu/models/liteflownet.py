@@ -33,6 +33,20 @@ def _leaky(x):
     return nn.leaky_relu(x, 0.1)
 
 
+def _trunk_barrier(x):
+    """Optional `optimization_barrier` in front of the per-level conv
+    trunks (DFVO_TRUNK_BARRIER=1): forces the concat/cost-volume feeding a
+    trunk to materialize instead of fusing into the first conv — an
+    experiment lever for the layout-seam slowdown (r4 profile)."""
+    import os
+
+    if os.environ.get("DFVO_TRUNK_BARRIER", "0") != "0":
+        import jax.lax as lax
+
+        return lax.optimization_barrier(x)
+    return x
+
+
 def _conv(features, kernel, stride=1, name=None, use_bias=True):
     pad = (kernel - 1) // 2
     if features <= 4 and stride == 1:
@@ -61,7 +75,11 @@ class _DepthwiseDeconv2x(nn.Module):
     for flow/correlation upsampling (ref lite_flow_net.py:109,117).
 
     Implemented as an input-dilated depthwise correlation; torch weights are
-    spatially flipped by the converter.
+    spatially flipped by the converter. With ``DFVO_DECONV_EW=1`` the same
+    op runs as four elementwise 2x2-tap phase maps interleaved by reshape —
+    bit-identical, but avoids the depthwise-conv op whose XLA:TPU layout
+    choice ({0,3,2,1}, batch-in-lanes) anchors relayout seams into the
+    downstream trunk convs (r4 profile, docs/profiles/r4/README.md).
     """
 
     channels: int
@@ -73,8 +91,12 @@ class _DepthwiseDeconv2x(nn.Module):
             nn.initializers.normal(0.02),
             (4, 4, 1, self.channels),
         )
+        import os
+
         import jax.lax as lax
 
+        if os.environ.get("DFVO_DECONV_EW", "0") != "0":
+            return _deconv2x_elementwise(x, kernel)
         return lax.conv_general_dilated(
             x,
             kernel,
@@ -84,6 +106,33 @@ class _DepthwiseDeconv2x(nn.Module):
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=self.channels,
         )
+
+
+def _deconv2x_elementwise(x, kernel):
+    """4x4 stride-2 depthwise transposed conv as shifted elementwise taps.
+
+    Derivation (1-D, per axis): out[2i] = w[0]·x[i-1] + w[2]·x[i] and
+    out[2i+1] = w[1]·x[i] + w[3]·x[i+1]; the 2-D op is the outer product of
+    the two phase rules, so each of the four output phases is a 2x2-tap
+    combination of shifted copies of x. XLA fuses the whole thing into one
+    elementwise pass plus the interleaving reshape — no depthwise conv op,
+    hence no batch-in-lanes layout anchor.
+    """
+    n, h, w, c = x.shape
+    wk = kernel[:, :, 0, :].astype(x.dtype)  # [4, 4, C]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+
+    def s(a, b):  # x[i-1+a, j-1+b]
+        return xp[:, a : a + h, b : b + w, :]
+
+    p00 = wk[0, 0] * s(0, 0) + wk[0, 2] * s(0, 1) + wk[2, 0] * s(1, 0) + wk[2, 2] * s(1, 1)
+    p01 = wk[0, 1] * s(0, 1) + wk[0, 3] * s(0, 2) + wk[2, 1] * s(1, 1) + wk[2, 3] * s(1, 2)
+    p10 = wk[1, 0] * s(1, 0) + wk[1, 2] * s(1, 1) + wk[3, 0] * s(2, 0) + wk[3, 2] * s(2, 1)
+    p11 = wk[1, 1] * s(1, 1) + wk[1, 3] * s(1, 2) + wk[3, 1] * s(2, 1) + wk[3, 3] * s(2, 2)
+    row0 = jnp.stack([p00, p01], axis=3)  # [n, h, w, 2(px), c]
+    row1 = jnp.stack([p10, p11], axis=3)
+    out = jnp.stack([row0, row1], axis=2)  # [n, h, 2(py), w, 2(px), c]
+    return out.reshape(n, 2 * h, 2 * w, c)
 
 
 class _Matching(nn.Module):
@@ -128,7 +177,7 @@ class _Matching(nn.Module):
                 )
             )
             corr = _DepthwiseDeconv2x(49, name="upcorr")(corr)
-        x = _leaky(_conv(128, 3, name="main_0")(corr))
+        x = _leaky(_conv(128, 3, name="main_0")(_trunk_barrier(corr)))
         x = _leaky(_conv(64, 3, name="main_1")(x))
         x = _leaky(_conv(32, 3, name="main_2")(x))
         delta = _conv(2, _LEVEL_KERNEL[lvl], name="main_3")(x)
@@ -146,7 +195,7 @@ class _Subpixel(nn.Module):
             feat1 = _leaky(feat_conv(feat1))
             feat2 = _leaky(feat_conv(feat2))
         feat2 = warp_image_by_flow(feat2, flow * _FLOW_SCALE[lvl])
-        x = jnp.concatenate([feat1, feat2, flow], axis=-1)
+        x = _trunk_barrier(jnp.concatenate([feat1, feat2, flow], axis=-1))
         x = _leaky(_conv(128, 3, name="main_0")(x))
         x = _leaky(_conv(64, 3, name="main_1")(x))
         x = _leaky(_conv(32, 3, name="main_2")(x))
@@ -190,7 +239,7 @@ class _Regularization(nn.Module):
             feat1 = _leaky(_conv(128, 1, name="feat_conv")(feat1))
         flow_centered = flow - jnp.mean(flow, axis=(1, 2), keepdims=True)
 
-        x = jnp.concatenate([diff, flow_centered, feat1], axis=-1)
+        x = _trunk_barrier(jnp.concatenate([diff, flow_centered, feat1], axis=-1))
         x = _leaky(_conv(128, 3, name="main_0")(x))
         x = _leaky(_conv(128, 3, name="main_1")(x))
         x = _leaky(_conv(64, 3, name="main_2")(x))

@@ -109,24 +109,42 @@ def _grid_sample_patch4(src, coords):
     w01 = (hat(fy0 - 1) * hat(fx0))[..., None]
     w11 = (hat(fy0 - 1) * hat(fx0 - 1))[..., None]
 
-    patches = jnp.concatenate(
-        [
-            src[:, :-1, :-1, :],
-            src[:, :-1, 1:, :],
-            src[:, 1:, :-1, :],
-            src[:, 1:, 1:, :],
-        ],
-        axis=-1,
-    )  # [n, h-1, w-1, 4c]
+    import os
+
+    build = os.environ.get("DFVO_WARP_BUILD", "base")
     # flatten the table in [H, W, N, C] order: XLA:TPU convs produce the
     # {3,0,2,1} layout (physically H, W, N, C), so an NHWC-ordered reshape
     # forces a ~125 MB materializing copy per warp at LiteFlowNet level 2.
     # The HWNC transpose+reshape is a layout no-op against conv producers
     # (measured 2.9 ms/step faster in the conv->warp->conv sandwich,
     # bit-identical output; /tmp/bench_warp_layout.py r2)
-    p_flat = jnp.transpose(patches, (1, 2, 0, 3)).reshape(
-        (h - 1) * (w - 1) * n, 4 * c
-    )
+    if build == "pre_t":
+        # transpose FIRST, build the table in physical order: same bytes,
+        # different fusion structure (r4 probe: the slice+concat build
+        # split into two ~2x-slower-than-bandwidth fusions)
+        src_t = jnp.transpose(src, (1, 2, 0, 3))  # [h, w, n, c]
+        p_flat = jnp.concatenate(
+            [
+                src_t[:-1, :-1],
+                src_t[:-1, 1:],
+                src_t[1:, :-1],
+                src_t[1:, 1:],
+            ],
+            axis=-1,
+        ).reshape((h - 1) * (w - 1) * n, 4 * c)
+    else:
+        patches = jnp.concatenate(
+            [
+                src[:, :-1, :-1, :],
+                src[:, :-1, 1:, :],
+                src[:, 1:, :-1, :],
+                src[:, 1:, 1:, :],
+            ],
+            axis=-1,
+        )  # [n, h-1, w-1, 4c]
+        p_flat = jnp.transpose(patches, (1, 2, 0, 3)).reshape(
+            (h - 1) * (w - 1) * n, 4 * c
+        )
     batch_off = jnp.arange(n, dtype=jnp.int32).reshape(
         (n,) + (1,) * (len(out_shape) - 1)
     )

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from ..geometry.lie import skew, so3_exp
 from ..utils.precision import highp
-from .ransac import sample_indices
+from .ransac import sample_points
 
 
 def _normalize(kp, K_inv):
@@ -306,10 +306,15 @@ def find_essential_ransac(
         F = K_inv.T @ E @ K_inv
         return (sampson_error(F, p1, p2) < thr2) & valid_mask
 
-    idx = sample_indices(rng, valid_mask, num_hypotheses, 8)
+    samp = sample_points(
+        rng, jnp.concatenate([x1, x2], axis=-1), valid_mask,
+        num_hypotheses, 8,
+    )  # [M x 8 x 6] — one packed gather (see solvers/ransac.py)
     Es = jax.vmap(
-        lambda i: essential_from_sample(x1[i], x2[i], project=False, iters=6)
-    )(idx)
+        lambda s: essential_from_sample(
+            s[..., :3], s[..., 3:], project=False, iters=6
+        )
+    )(samp)
     inliers = jax.vmap(score)(Es)
     counts = jnp.sum(inliers, axis=1)
     _, top = jax.lax.top_k(counts, num_starts)

@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.precision import highp
-from .ransac import sample_indices
+from .ransac import sample_points
 
 
 def _hartley_transform(p, weights=None):
@@ -127,8 +127,13 @@ def find_homography_ransac(
     p1 = jnp.concatenate([kp1, jnp.ones_like(kp1[:, :1])], axis=-1)
     p2 = jnp.concatenate([kp2, jnp.ones_like(kp2[:, :1])], axis=-1)
 
-    idx = sample_indices(rng, valid_mask, num_hypotheses, 4)
-    Hs = jax.vmap(lambda i: homography_from_sample(p1[i], p2[i]))(idx)
+    samp = sample_points(
+        rng, jnp.concatenate([p1, p2], axis=-1), valid_mask,
+        num_hypotheses, 4,
+    )  # [M x 4 x 6] — one packed gather (see solvers/ransac.py)
+    Hs = jax.vmap(
+        lambda s: homography_from_sample(s[..., :3], s[..., 3:])
+    )(samp)
 
     errs = jax.vmap(lambda H: homography_transfer_error(H, p1, p2))(Hs)
     inliers = (errs < threshold**2) & valid_mask[None, :]

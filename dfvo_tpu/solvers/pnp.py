@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ..geometry.lie import skew, so3_exp
 from ..utils.precision import highp
-from .ransac import sample_indices
+from .ransac import sample_points
 
 
 @highp
@@ -213,7 +213,11 @@ def solve_pnp_ransac(
         jnp.concatenate([x_pix, jnp.ones_like(x_pix[:, :1])], axis=-1) @ K_inv.T
     )[:, :2]
 
-    idx = sample_indices(rng, valid_mask, num_hypotheses, 6)
+    samp = sample_points(
+        rng, jnp.concatenate([X, x_norm], axis=-1), valid_mask,
+        num_hypotheses, 6,
+    )  # [M x 6 x 5] — one packed gather (see solvers/ransac.py)
+    Xs, xs = samp[..., :3], samp[..., 3:]
     # three minimal solvers per sample: projection-matrix DLT (general
     # scenes), plane-homography decomposition (coplanar scenes, where the
     # DLT is degenerate), and Grunert P3P on the first three points (low
@@ -222,13 +226,11 @@ def solve_pnp_ransac(
     # RANSAC scoring picks whichever explains the data
     from .p3p import p3p_solutions
 
-    Rs_d, ts_d = jax.vmap(lambda i: pnp_from_sample(X[i], x_norm[i]))(idx)
-    Rs_p, ts_p = jax.vmap(lambda i: pnp_from_sample_planar(X[i], x_norm[i]))(
-        idx
-    )
+    Rs_d, ts_d = jax.vmap(pnp_from_sample)(Xs, xs)
+    Rs_p, ts_p = jax.vmap(pnp_from_sample_planar)(Xs, xs)
     Rs_3, ts_3, ok_3 = jax.vmap(
-        lambda i: p3p_solutions(X[i[:3]], x_norm[i[:3]])
-    )(idx)
+        lambda X3, x3: p3p_solutions(X3, x3)
+    )(Xs[:, :3], xs[:, :3])
     Rs_3 = Rs_3.reshape(-1, 3, 3)
     ts_3 = ts_3.reshape(-1, 3)
     ok_3 = ok_3.reshape(-1)

@@ -69,6 +69,50 @@ def sample_indices(rng, valid_mask, num_hypotheses, sample_size):
     return order[(raw % count).astype(jnp.int32)]
 
 
+def sample_points(rng, pts, valid_mask, num_hypotheses, sample_size):
+    """Draw ``[M x k x D]`` sampled POINT ROWS (bit-identical to
+    ``pts[sample_indices(...)]`` but ~2.5x fewer gather rows).
+
+    TPU gathers pay a per-row floor regardless of byte width (CLAUDE.md),
+    so ``pts[order[raw % count]]`` as two narrow M·k-row gathers (plus the
+    M·k-row index lookup) costs ~0.25 ms/frame at the tracking sizes
+    (r4 profile: %fusion.46/.47/.48). Reassociating to
+    ``(pts[order])[raw % count]`` replaces the index lookup with one
+    N-row compaction gather and lets callers PACK all point arrays into
+    ``D`` columns for a single sample gather.
+
+    Args:
+        rng: PRNG key.
+        pts: [N x D] point rows (concatenate kp1/kp2/etc. on D first).
+        valid_mask: [N] boolean validity.
+        num_hypotheses: M.
+        sample_size: k.
+
+    Returns:
+        [M x k x D] sampled rows (valid rows only, given any valid point).
+    """
+    n = valid_mask.shape[0]
+    cs_valid = jnp.cumsum(valid_mask)
+    n_valid = cs_valid[-1]
+    cs_invalid = jnp.cumsum(~valid_mask)
+    pos = jnp.where(valid_mask, cs_valid - 1, n_valid + cs_invalid - 1)
+    order = jnp.zeros(n, jnp.int32).at[pos].set(
+        jnp.arange(n, dtype=jnp.int32)
+    )
+    compact = jnp.take(
+        pts, order, axis=0, mode="clip"
+    )  # [N x D], valid rows first
+    count = jnp.maximum(n_valid, 1).astype(jnp.uint32)
+    kd = jnp.asarray(jax.random.key_data(rng), jnp.uint32).reshape(-1)
+    base = _mix32(kd[0] * np.uint32(0x9E3779B9) ^ _mix32(kd[-1]))
+    iota = jax.lax.iota(jnp.uint32, num_hypotheses * sample_size)
+    raw = _mix32(iota * np.uint32(0x9E3779B9) + base)
+    picked = jnp.take(
+        compact, (raw % count).astype(jnp.int32), axis=0, mode="clip"
+    )
+    return picked.reshape(num_hypotheses, sample_size, pts.shape[-1])
+
+
 def best_hypothesis(inlier_counts):
     """Index of the hypothesis with most inliers."""
     return jnp.argmax(inlier_counts)

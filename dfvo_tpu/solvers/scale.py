@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.precision import highp
-from .ransac import sample_indices
+from .ransac import sample_points
 
 
 @partial(jax.jit, static_argnames=("num_hypotheses", "min_samples"))
@@ -40,8 +40,9 @@ def scale_ransac_1d(
         dict with ``scale`` (float; the caller maps "too few valid points"
         to the reference's -1 sentinel), ``inliers`` [N], ``inlier_cnt``.
     """
-    idx = sample_indices(rng, valid_mask, num_hypotheses, min_samples)
-    x = ratios[idx]  # [M, k]
+    x = sample_points(
+        rng, ratios[:, None], valid_mask, num_hypotheses, min_samples
+    )[..., 0]  # [M, k]
     # least squares of x*c = 1 on the sample: c = Σx / Σx²
     cs = jnp.sum(x, axis=1) / jnp.maximum(jnp.sum(x * x, axis=1), 1e-12)
 
