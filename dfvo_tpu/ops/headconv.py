@@ -186,6 +186,11 @@ def _headconv_fused(x, kernel, bias, prepadded):
         and k > 1  # 1x1 heads are a cheap fused reduce in XLA already
         and w >= 160
         and h >= 8
+        # measured crossover on v5e (tools/bench_flownet.py, r4): at batch
+        # >= 64 XLA's conv emitter beats the kernel + its layout-boundary
+        # copies (6.06 vs 6.35 ms/frame whole-flow-net), at batch <= 32 the
+        # kernel wins (6.48 vs 6.98)
+        and n < 64
         and (p * cin) % 1024 == 0  # group steps must be 8-block aligned
         and 128 % cin == 0
         and any(d.platform == "tpu" for d in jax.devices())

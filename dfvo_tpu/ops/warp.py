@@ -111,6 +111,13 @@ def _grid_sample_patch4(src, coords):
 
     import os
 
+    if os.environ.get("DFVO_WARP_SRC_BARRIER", "0") != "0":
+        # force the warp source to materialize once: XLA otherwise fuses
+        # the producer (e.g. feat_conv's leaky epilogue) into the patch-
+        # table build, recomputing it per shifted slice (r4 probe)
+        import jax.lax as _lax
+
+        src = _lax.optimization_barrier(src)
     build = os.environ.get("DFVO_WARP_BUILD", "base")
     # flatten the table in [H, W, N, C] order: XLA:TPU convs produce the
     # {3,0,2,1} layout (physically H, W, N, C), so an NHWC-ordered reshape

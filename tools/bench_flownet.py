@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 
 H, W = 192, 640
-CHUNK = 32
+CHUNK = int(os.environ.get("FLOWNET_CHUNK", "32"))
 
 VARIANTS = {
     "base": {},
@@ -43,7 +43,14 @@ VARIANTS = {
     "headconv_xla": {"DFVO_HEADCONV_PALLAS": "0"},
     "corr_xla": {"DFVO_CORR_PALLAS": "0"},
     "warp_pre_t": {"DFVO_WARP_BUILD": "pre_t"},
-    "best": {},  # placeholder: edit to the winning combination
+    "hx+pre_t": {"DFVO_HEADCONV_PALLAS": "0", "DFVO_WARP_BUILD": "pre_t"},
+    "hx+pre_t+bar": {
+        "DFVO_HEADCONV_PALLAS": "0",
+        "DFVO_WARP_BUILD": "pre_t",
+        "DFVO_TRUNK_BARRIER": "1",
+    },
+    "hx+corrx": {"DFVO_HEADCONV_PALLAS": "0", "DFVO_CORR_PALLAS": "0"},
+    "src_barrier": {"DFVO_WARP_SRC_BARRIER": "1"},
 }
 _ALL_FLAGS = sorted({k for v in VARIANTS.values() for k in v})
 
@@ -93,8 +100,42 @@ def bench_variant(name, flags, variables, imgs):
     return ms_step
 
 
+def trace_variant(name, flags, variables, imgs, outdir="/tmp/flownet_trace"):
+    """Capture an xplane trace of one variant (reuses profile_tpu's parser)."""
+    from dfvo_tpu.models import LiteFlowNet
+    from tools.profile_tpu import summarize_xplane
+
+    for k in _ALL_FLAGS:
+        os.environ.pop(k, None)
+    os.environ.update(flags)
+    net = LiteFlowNet()
+
+    @jax.jit
+    def step(v, x, t):
+        out = net.apply(v, x + t * jnp.zeros((), x.dtype), x,
+                        pair_mode="consecutive")
+        return jnp.sum(out[1].astype(jnp.float32)) * 1e-12
+
+    def run(k):
+        t = jnp.zeros((), imgs.dtype)
+        for _ in range(k):
+            t = step(variables, imgs, t.astype(imgs.dtype))
+        return float(t)
+
+    run(1)
+    run(3)
+    jax.profiler.start_trace(outdir)
+    run(3)
+    jax.profiler.stop_trace()
+    summarize_xplane(outdir, top=60)
+
+
 def main():
     names = sys.argv[1:] or list(VARIANTS)
+    trace = False
+    if names and names[0] == "--trace":
+        trace = True
+        names = names[1:] or ["base"]
     from dfvo_tpu.models import LiteFlowNet
 
     rng = np.random.RandomState(0)
@@ -114,7 +155,10 @@ def main():
         variables,
     )
     for name in names:
-        bench_variant(name, VARIANTS[name], variables, imgs)
+        if trace:
+            trace_variant(name, VARIANTS[name], variables, imgs)
+        else:
+            bench_variant(name, VARIANTS[name], variables, imgs)
 
 
 if __name__ == "__main__":
