@@ -125,6 +125,9 @@ def _grid_sample_patch4(src, coords):
     # The HWNC transpose+reshape is a layout no-op against conv producers
     # (measured 2.9 ms/step faster in the conv->warp->conv sandwich,
     # bit-identical output; /tmp/bench_warp_layout.py r2)
+    # (an NHWC-row-order gather-coalescing variant was probed in r4 and
+    # measured WORSE — 6.54 vs 6.06 ms/frame flow-net — the relayout tax
+    # beats any coalescing win; see CLAUDE.md r4 notes)
     if build == "pre_t":
         # transpose FIRST, build the table in physical order: same bytes,
         # different fusion structure (r4 probe: the slice+concat build
@@ -139,6 +142,28 @@ def _grid_sample_patch4(src, coords):
             ],
             axis=-1,
         ).reshape((h - 1) * (w - 1) * n, 4 * c)
+    elif build == "stack":
+        # r4 probe: stack on a fresh axis + bitcast-reshape instead of a
+        # minor-dim concat — the base build's concat splits into a 4-slice
+        # kLoop fusion + a pad/concat kLoop fusion (2 full passes over the
+        # 4x-amplified table, ~21 ms/step at L2; r4 profile
+        # %fusion.4713/%pad_maximum_fusion.47)
+        src_t = jnp.transpose(src, (1, 2, 0, 3))  # [h, w, n, c]
+        p_flat = jnp.stack(
+            [
+                src_t[:-1, :-1],
+                src_t[:-1, 1:],
+                src_t[1:, :-1],
+                src_t[1:, 1:],
+            ],
+            axis=3,
+        ).reshape((h - 1) * (w - 1) * n, 4 * c)
+    elif build == "xonly":
+        # r4 probe: halve the table (x-pairs only, 2x amplification) and
+        # gather TWO rows per sample (y0, y0+1). Build writes half the
+        # bytes; gathers pay ~+18% on the row-cost model (two 256 B rows
+        # vs one 512 B row at L2 features).
+        return _grid_sample_xpair(src, coords)
     else:
         patches = jnp.concatenate(
             [
@@ -194,6 +219,69 @@ def _grid_sample_patch4(src, coords):
         + g[..., 1 * c : 2 * c] * w10
         + g[..., 2 * c : 3 * c] * w01
         + g[..., 3 * c : 4 * c] * w11
+    )
+
+
+def _grid_sample_xpair(src, coords):
+    """Zeros-mode bilinear sampling from an x-pair table with two gathers
+    (probe variant: see DFVO_WARP_BUILD=xonly in _grid_sample_patch4)."""
+    n, h, w, c = src.shape
+    out_shape = coords.shape[:-1]
+    x = coords[..., 0]
+    y = coords[..., 1]
+    x0c = jnp.clip(jnp.floor(x), 0, w - 2).astype(jnp.int32)
+    y0c = jnp.clip(jnp.floor(y), 0, h - 2).astype(jnp.int32)
+
+    def hat(d):
+        return jnp.maximum(0.0, 1.0 - jnp.abs(d)).astype(src.dtype)
+
+    fx0 = x - x0c.astype(x.dtype)
+    fy0 = y - y0c.astype(y.dtype)
+    w00 = (hat(fy0) * hat(fx0))[..., None]
+    w10 = (hat(fy0) * hat(fx0 - 1))[..., None]
+    w01 = (hat(fy0 - 1) * hat(fx0))[..., None]
+    w11 = (hat(fy0 - 1) * hat(fx0 - 1))[..., None]
+
+    src_t = jnp.transpose(src, (1, 2, 0, 3))  # [h, w, n, c]
+    p2_flat = jnp.concatenate(
+        [src_t[:, :-1], src_t[:, 1:]], axis=-1
+    ).reshape(h * (w - 1) * n, 2 * c)
+    batch_off = jnp.arange(n, dtype=jnp.int32).reshape(
+        (n,) + (1,) * (len(out_shape) - 1)
+    )
+    idx0 = (y0c * (w - 1) + x0c) * n + batch_off
+    row_stride = (w - 1) * n
+    if len(out_shape) == 3:
+        idx0_t = jnp.transpose(idx0, (1, 2, 0)).reshape(-1)
+        g0 = jnp.take(p2_flat, idx0_t, axis=0, mode="clip").reshape(
+            out_shape[1:] + (out_shape[0], 2 * c)
+        )
+        g1 = jnp.take(
+            p2_flat, idx0_t + row_stride, axis=0, mode="clip"
+        ).reshape(out_shape[1:] + (out_shape[0], 2 * c))
+        wt = [
+            jnp.transpose(wk, (1, 2, 0, 3))
+            for wk in (w00, w10, w01, w11)
+        ]
+        out = (
+            g0[..., :c] * wt[0]
+            + g0[..., c:] * wt[1]
+            + g1[..., :c] * wt[2]
+            + g1[..., c:] * wt[3]
+        )
+        return jnp.transpose(out, (2, 0, 1, 3))
+    idx0 = idx0.reshape(-1)
+    g0 = jnp.take(p2_flat, idx0, axis=0, mode="clip").reshape(
+        out_shape + (2 * c,)
+    )
+    g1 = jnp.take(p2_flat, idx0 + row_stride, axis=0, mode="clip").reshape(
+        out_shape + (2 * c,)
+    )
+    return (
+        g0[..., :c] * w00
+        + g0[..., c:] * w10
+        + g1[..., :c] * w01
+        + g1[..., c:] * w11
     )
 
 

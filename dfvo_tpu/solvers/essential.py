@@ -85,6 +85,56 @@ def essential_from_sample(x1, x2, weights=None, project=True, iters=10):
     return E
 
 
+def _essential_hypotheses_soa(samp, iters=6):
+    """All-hypothesis 8-point nullspaces, structure-of-arrays.
+
+    Equivalent to ``vmap(essential_from_sample)(samp)`` with
+    ``project=False`` but with the hypothesis axis riding the TPU lane
+    dimension throughout: the vmapped form materializes [M x 9 x 9] normal
+    matrices whose minor (9, 9) dims tile-pad to (8, 128) — a ~14x HBM tax
+    that made these fusions the biggest tracking item in the r4 device
+    profile (f32[32,1280,9,9] %slice_reduce_fusions, ~0.35 ms/frame).
+
+    Args:
+        samp: [M x 8 x 6] minimal samples, columns [x1 | x2] homogeneous
+            normalized coords (from solvers/ransac.py sample_points).
+        iters: inverse-iteration steps (static).
+
+    Returns:
+        tuple of 9 [M] arrays — row-major components of E (up to scale).
+    """
+    from .linalg import spd_smallest_eigvec_soa
+
+    st = jnp.transpose(samp, (1, 2, 0))  # [8 x 6 x M]: hypotheses on lanes
+    x1 = [st[:, 0], st[:, 1], st[:, 2]]  # each [8 x M]
+    x2 = [st[:, 3], st[:, 4], st[:, 5]]
+    # epipolar design-matrix columns: A[k, 3a+b] = x2[k,a] * x1[k,b]
+    q = [x2[a] * x1[b] for a in range(3) for b in range(3)]
+    # normal matrix AᵀA, one [M] array per (lower-triangle) entry
+    m = [
+        [jnp.sum(q[i] * q[j], axis=0) for j in range(i + 1)]
+        for i in range(9)
+    ]
+    return spd_smallest_eigvec_soa(m, iters=iters, shift=1e-6)
+
+
+def _sampson_inlier_mask_soa(F, p1, p2, thr2, valid_mask):
+    """Inlier masks of all hypotheses at once from SoA fundamental-matrix
+    components (same residual as sampson_error, broadcast [M x N])."""
+    x1, y1, z1 = p1[None, :, 0], p1[None, :, 1], p1[None, :, 2]
+    x2, y2, z2 = p2[None, :, 0], p2[None, :, 1], p2[None, :, 2]
+    f = [[F[i][j][:, None] for j in range(3)] for i in range(3)]
+    fx0 = f[0][0] * x1 + f[0][1] * y1 + f[0][2] * z1
+    fx1 = f[1][0] * x1 + f[1][1] * y1 + f[1][2] * z1
+    fx2 = f[2][0] * x1 + f[2][1] * y1 + f[2][2] * z1
+    ftx0 = f[0][0] * x2 + f[1][0] * y2 + f[2][0] * z2
+    ftx1 = f[0][1] * x2 + f[1][1] * y2 + f[2][1] * z2
+    num = (x2 * fx0 + y2 * fx1 + z2 * fx2) ** 2
+    den = fx0**2 + fx1**2 + ftx0**2 + ftx1**2
+    err = num / jnp.maximum(den, 1e-12)
+    return (err < thr2) & valid_mask[None, :]
+
+
 @highp
 def sampson_error(F, p1, p2):
     """Squared Sampson distance of pixel correspondences under F.
@@ -310,18 +360,41 @@ def find_essential_ransac(
         rng, jnp.concatenate([x1, x2], axis=-1), valid_mask,
         num_hypotheses, 8,
     )  # [M x 8 x 6] — one packed gather (see solvers/ransac.py)
-    Es = jax.vmap(
-        lambda s: essential_from_sample(
-            s[..., :3], s[..., 3:], project=False, iters=6
-        )
-    )(samp)
-    inliers = jax.vmap(score)(Es)
+    # SoA hypothesis stage: E components as 9 [M] arrays (hypotheses on
+    # lanes), F = K⁻ᵀ E K⁻¹ component-wise, one broadcast Sampson pass
+    e9 = _essential_hypotheses_soa(samp, iters=6)
+    tmp = [
+        [
+            K_inv[0, a] * e9[0 + c]
+            + K_inv[1, a] * e9[3 + c]
+            + K_inv[2, a] * e9[6 + c]
+            for c in range(3)
+        ]
+        for a in range(3)
+    ]  # tmp[a][c] = (K⁻ᵀ E)[a, c]
+    Fc = [
+        [
+            tmp[a][0] * K_inv[0, d]
+            + tmp[a][1] * K_inv[1, d]
+            + tmp[a][2] * K_inv[2, d]
+            for d in range(3)
+        ]
+        for a in range(3)
+    ]
+    inliers = _sampson_inlier_mask_soa(Fc, p1, p2, thr2, valid_mask)
     counts = jnp.sum(inliers, axis=1)
     _, top = jax.lax.top_k(counts, num_starts)
 
-    def polish_one(i0):
-        cur = inliers[i0]
-        best_E, best_cnt, best_inl = Es[i0], counts[i0], cur
+    def gather_Es(idx):
+        # assemble [len(idx) x 3 x 3] matrices from the SoA components at
+        # the few selected hypotheses (the full [M x 9] stack would
+        # tile-pad 9 -> 128 lanes)
+        return jnp.stack([c[idx] for c in e9], axis=-1).reshape(
+            idx.shape + (3, 3)
+        )
+
+    def polish_one(E0, cnt0, cur):
+        best_E, best_cnt, best_inl = E0, cnt0, cur
         # guarded DLT refit rounds
         for _ in range(2):
             E = essential_from_sample(x1, x2, weights=cur.astype(x1.dtype))
@@ -347,7 +420,9 @@ def find_essential_ransac(
             best_inl = jnp.where(better, cur, best_inl)
         return best_R, best_t, best_cnt, best_inl
 
-    Rs, ts, cnts, inls = jax.vmap(polish_one)(top)
+    Rs, ts, cnts, inls = jax.vmap(polish_one)(
+        gather_Es(top), counts[top], inliers[top]
+    )
     j = jnp.argmax(cnts)
     R, t, inl = Rs[j], ts[j], inls[j]
     E = skew(t) @ R
@@ -365,6 +440,6 @@ def find_essential_ransac(
         "inliers": inl,
         "inlier_cnt": cnts[j],
         "cheirality_cnt": cheir,
-        "slice_Es": Es[slice_best],
+        "slice_Es": gather_Es(slice_best),
         "slice_cnts": counts[slice_best],
     }

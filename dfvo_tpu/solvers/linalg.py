@@ -142,6 +142,106 @@ def spd_smallest_eigvec(M, iters=8, shift=1e-6):
     return jax.lax.fori_loop(0, iters, body, v)
 
 
+def cholesky_soa(m):
+    """Structure-of-arrays Cholesky: ``m`` is an n x n list-of-lists of
+    same-shaped batch arrays (lower triangle read; ``m[i][j]`` with i >= j).
+
+    Rationale: the array form (cholesky_unrolled) materializes
+    [batch x n x n] tensors whose minor (n, n) dims tile-pad to (8, 128) —
+    a ~14x HBM tax at n = 9 that made the essential-RANSAC nullspace
+    fusions the single biggest tracking item (r4 device profile,
+    %slice_reduce_fusion.202/.187 reading f32[32,1280,9,9]). Keeping every
+    matrix entry as its own [batch] array leaves the hypothesis axis on
+    lanes with zero padding.
+
+    Returns:
+        n x n list-of-lists L (entries below the diagonal, None above).
+    """
+    n = len(m)
+    cols = [[None] * n for _ in range(n)]
+    for j in range(n):
+        s = m[j][j]
+        for k in range(j):
+            s = s - cols[j][k] * cols[j][k]
+        d = jnp.sqrt(jnp.maximum(s, 1e-30))
+        cols[j][j] = d
+        inv_d = 1.0 / d
+        for i in range(j + 1, n):
+            s = m[i][j]
+            for k in range(j):
+                s = s - cols[i][k] * cols[j][k]
+            cols[i][j] = s * inv_d
+    return cols
+
+
+def tril_inverse_soa(L):
+    """Structure-of-arrays inverse of a lower-triangular list-of-lists
+    (forward substitution on the identity; cf. tril_inverse_unrolled)."""
+    n = len(L)
+    inv_diag = [1.0 / L[i][i] for i in range(n)]
+    X = [[None] * n for _ in range(n)]
+    for j in range(n):
+        for i in range(j, n):
+            if i == j:
+                X[i][j] = inv_diag[i]
+            else:
+                s = L[i][j] * X[j][j]
+                for k in range(j + 1, i):
+                    s = s + L[i][k] * X[k][j]
+                X[i][j] = -s * inv_diag[i]
+    return X
+
+
+def spd_smallest_eigvec_soa(m, iters=8, shift=1e-6):
+    """Structure-of-arrays shift-inverted power iteration (see
+    spd_smallest_eigvec): ``m`` is an n x n list-of-lists of [batch]
+    arrays (symmetric; lower triangle read). Returns a tuple of n [batch]
+    arrays — the unit eigenvector of the smallest eigenvalue."""
+    n = len(m)
+    mean_diag = m[0][0]
+    for i in range(1, n):
+        mean_diag = mean_diag + m[i][i]
+    mean_diag = mean_diag / n
+    ms = [
+        [
+            m[i][j] + shift * mean_diag if i == j else m[i][j]
+            for j in range(i + 1)
+        ]
+        for i in range(n)
+    ]
+    L = cholesky_soa(ms)
+    Li = tril_inverse_soa(L)
+    # Minv = L^-T L^-1 (symmetric; build lower triangle, mirror by reuse)
+    Minv = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = None
+            for k in range(max(i, j), n):
+                t = Li[k][i] * Li[k][j]
+                s = t if s is None else s + t
+            Minv[i][j] = s
+            Minv[j][i] = s
+    inv_sqrt_n = 1.0 / float(n) ** 0.5
+    v0 = tuple(
+        jnp.full_like(m[0][0], inv_sqrt_n) for _ in range(n)
+    )
+
+    def body(_, v):
+        y = []
+        for i in range(n):
+            s = Minv[i][0] * v[0]
+            for j in range(1, n):
+                s = s + Minv[i][j] * v[j]
+            y.append(s)
+        nrm2 = y[0] * y[0]
+        for i in range(1, n):
+            nrm2 = nrm2 + y[i] * y[i]
+        inv_n = 1.0 / jnp.maximum(jnp.sqrt(nrm2), 1e-30)
+        return tuple(yi * inv_n for yi in y)
+
+    return jax.lax.fori_loop(0, iters, body, v0)
+
+
 @highp
 def nullspace_vector(A, iters=10, shift=1e-6):
     """Approximate right-singular vector of A's smallest singular value.

@@ -60,6 +60,146 @@ def pnp_from_sample(X, x_norm, weights=None):
     return R, t
 
 
+def _inv_3x3_soa(m):
+    """Closed-form 3x3 inverse on structure-of-arrays components
+    (m[i][j] are [batch] arrays; see linalg.inv_3x3 for the array form)."""
+    a, b, c = m[0]
+    d, e, f = m[1]
+    g, h, i = m[2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    adj = [
+        [A, -(b * i - c * h), b * f - c * e],
+        [B, a * i - c * g, -(a * f - c * d)],
+        [C, -(a * h - b * g), a * e - b * d],
+    ]
+    return [[adj[r][s] * inv_det for s in range(3)] for r in range(3)]
+
+
+def _nearest_rotation_soa(m, iters=5):
+    """Newton polar factor on SoA 3x3 components (see
+    linalg.nearest_rotation): returns (R components, mean singular value).
+    """
+    nrm2 = None
+    for r in range(3):
+        for s in range(3):
+            t = m[r][s] * m[r][s]
+            nrm2 = t if nrm2 is None else nrm2 + t
+    norm = jnp.maximum(jnp.sqrt(nrm2 / 3.0), 1e-30)
+    X = tuple(m[r][s] / norm for r in range(3) for s in range(3))
+
+    def body(_, Xf):
+        Xm = [[Xf[3 * r + s] for s in range(3)] for r in range(3)]
+        Xi = _inv_3x3_soa(Xm)
+        return tuple(
+            0.5 * (Xm[r][s] + Xi[s][r]) for r in range(3) for s in range(3)
+        )
+
+    Rf = jax.lax.fori_loop(0, iters, body, X)
+    R = [[Rf[3 * r + s] for s in range(3)] for r in range(3)]
+    scale = None
+    for r in range(3):
+        for s in range(3):
+            t = R[r][s] * m[r][s]
+            scale = t if scale is None else scale + t
+    return R, scale / 3.0
+
+
+def _pnp_dlt_hypotheses_soa(samp, iters=6):
+    """All-hypothesis projection-matrix DLTs, structure-of-arrays.
+
+    Equivalent to ``vmap(pnp_from_sample)(Xs, xs)`` but with the hypothesis
+    axis on TPU lanes throughout: the vmapped form materializes
+    [M x 12 x 12] normal matrices whose minor (12, 12) dims tile-pad to
+    (16, 128) — a ~10x HBM tax (the same problem the essential solver's
+    9x9 stage had, r4 device profile; this is the PnP-fallback analog,
+    VERDICT r3 item 3; ref pnp_tracker.py:89-110).
+
+    The normal matrix AᵀA of the DLT system has the block form
+    [[S, 0, -Su], [0, S, -Sv], [-Su, -Sv, Sw]] with S = Σ Xh Xhᵀ,
+    Su = Σ u·Xh Xhᵀ, Sv = Σ v·Xh Xhᵀ, Sw = Σ (u²+v²)·Xh Xhᵀ — four
+    symmetric 4x4 moment sums, each entry one [M] array.
+
+    Args:
+        samp: [M x 6 x 5] samples, columns [X (3) | x_norm (2)].
+        iters: inverse-iteration steps (static; matches pnp_from_sample).
+
+    Returns:
+        (R components 3x3 list-of-lists of [M], t components list of 3 [M]).
+    """
+    from .linalg import spd_smallest_eigvec_soa
+
+    st = jnp.transpose(samp, (1, 2, 0))  # [6 x 5 x M]
+    ones = jnp.ones_like(st[:, 0])
+    Xh = [st[:, 0], st[:, 1], st[:, 2], ones]  # each [6 x M]
+    u, v = st[:, 3], st[:, 4]
+    w2 = u * u + v * v
+
+    def moments(weight):
+        return [
+            [jnp.sum(weight * Xh[a] * Xh[b], axis=0) for b in range(a + 1)]
+            for a in range(4)
+        ]
+
+    S = moments(ones)
+    Su = moments(u)
+    Sv = moments(v)
+    Sw = moments(w2)
+
+    def sym(T, a, b):
+        return T[a][b] if b <= a else T[b][a]
+
+    zero = jnp.zeros_like(S[0][0])
+    m = [[None] * 12 for _ in range(12)]
+    for i in range(12):
+        bi, p = divmod(i, 4)
+        for j in range(i + 1):
+            bj, q = divmod(j, 4)
+            if bi == bj:
+                m[i][j] = sym(S if bi < 2 else Sw, p, q)
+            elif bi == 2:
+                m[i][j] = -sym(Su if bj == 0 else Sv, p, q)
+            else:  # (bi, bj) == (1, 0): zero block
+                m[i][j] = zero
+    e12 = spd_smallest_eigvec_soa(m, iters=iters, shift=1e-6)
+
+    Mv = [[e12[4 * r + c] for c in range(4)] for r in range(3)]
+    a, b, c = Mv[0][0], Mv[0][1], Mv[0][2]
+    d, e, f = Mv[1][0], Mv[1][1], Mv[1][2]
+    g, h, i_ = Mv[2][0], Mv[2][1], Mv[2][2]
+    det = (
+        a * (e * i_ - f * h) - b * (d * i_ - f * g) + c * (d * h - e * g)
+    )
+    sgn = jnp.sign(det)
+    Mv = [[sgn * Mv[r][cc] for cc in range(4)] for r in range(3)]
+    R, scale = _nearest_rotation_soa(
+        [[Mv[r][s] for s in range(3)] for r in range(3)]
+    )
+    inv_scale = 1.0 / jnp.maximum(scale, 1e-12)
+    t = [Mv[r][3] * inv_scale for r in range(3)]
+    return R, t
+
+
+def _reproj_err_sq_soa(R, t, X, x_pix, K):
+    """Squared pixel reprojection errors of all hypotheses at once from SoA
+    pose components (same arithmetic as _reproj_err_sq, broadcast [M x N]).
+    """
+    X0, X1, X2 = X[None, :, 0], X[None, :, 1], X[None, :, 2]
+    r = [[R[a][b][:, None] for b in range(3)] for a in range(3)]
+    tb = [t[a][:, None] for a in range(3)]
+    px = r[0][0] * X0 + r[0][1] * X1 + r[0][2] * X2 + tb[0]
+    py = r[1][0] * X0 + r[1][1] * X1 + r[1][2] * X2 + tb[1]
+    z = r[2][0] * X0 + r[2][1] * X1 + r[2][2] * X2 + tb[2]
+    zs = jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
+    uu = K[0, 0] * (px / zs) + K[0, 1] * (py / zs) + K[0, 2]
+    vv = K[1, 1] * (py / zs) + K[1, 2]
+    err = (uu - x_pix[None, :, 0]) ** 2 + (vv - x_pix[None, :, 1]) ** 2
+    return jnp.where(z > 0, err, jnp.inf)
+
+
 @highp
 def pnp_from_sample_planar(X, x_norm):
     """Homography-based minimal pose for (near-)coplanar 3D points.
@@ -226,7 +366,13 @@ def solve_pnp_ransac(
     # RANSAC scoring picks whichever explains the data
     from .p3p import p3p_solutions
 
-    Rs_d, ts_d = jax.vmap(pnp_from_sample)(Xs, xs)
+    # DLT lane in structure-of-arrays form (hypotheses on lanes — the
+    # vmapped 12x12 nullspace was the PnP fallback's hot spot)
+    Rd, td = _pnp_dlt_hypotheses_soa(samp, iters=6)
+    errs_d = _reproj_err_sq_soa(Rd, td, X, x_pix, K)
+    inliers_d = (errs_d < reproj_threshold**2) & valid_mask[None, :]
+    counts_d = jnp.sum(inliers_d, axis=1)
+
     Rs_p, ts_p = jax.vmap(pnp_from_sample_planar)(Xs, xs)
     Rs_3, ts_3, ok_3 = jax.vmap(
         lambda X3, x3: p3p_solutions(X3, x3)
@@ -234,19 +380,31 @@ def solve_pnp_ransac(
     Rs_3 = Rs_3.reshape(-1, 3, 3)
     ts_3 = ts_3.reshape(-1, 3)
     ok_3 = ok_3.reshape(-1)
-    Rs = jnp.concatenate([Rs_d, Rs_p, Rs_3], axis=0)
-    ts = jnp.concatenate([ts_d, ts_p, ts_3], axis=0)
+    Rs_pp = jnp.concatenate([Rs_p, Rs_3], axis=0)
+    ts_pp = jnp.concatenate([ts_p, ts_3], axis=0)
     cand_ok = jnp.concatenate(
-        [jnp.ones(2 * num_hypotheses, dtype=bool), ok_3], axis=0
+        [jnp.ones(num_hypotheses, dtype=bool), ok_3], axis=0
     )
 
-    errs = jax.vmap(lambda R, t: _reproj_err_sq(R, t, X, x_pix, K))(Rs, ts)
-    inliers = (errs < reproj_threshold**2) & valid_mask[None, :]
-    counts = jnp.where(cand_ok, jnp.sum(inliers, axis=1), -1)
-    best = jnp.argmax(counts)
+    errs_pp = jax.vmap(
+        lambda R, t: _reproj_err_sq(R, t, X, x_pix, K)
+    )(Rs_pp, ts_pp)
+    inliers_pp = (errs_pp < reproj_threshold**2) & valid_mask[None, :]
+    counts_pp = jnp.where(cand_ok, jnp.sum(inliers_pp, axis=1), -1)
 
-    R0, t0 = Rs[best], ts[best]
-    w = inliers[best].astype(X.dtype)
+    counts = jnp.concatenate([counts_d, counts_pp], axis=0)
+    best = jnp.argmax(counts)
+    is_d = best < num_hypotheses
+    idx_d = jnp.minimum(best, num_hypotheses - 1)
+    idx_pp = jnp.clip(best - num_hypotheses, 0, counts_pp.shape[0] - 1)
+    R_d_best = jnp.stack(
+        [Rd[r][s][idx_d] for r in range(3) for s in range(3)]
+    ).reshape(3, 3)
+    t_d_best = jnp.stack([td[r][idx_d] for r in range(3)])
+    R0 = jnp.where(is_d, R_d_best, Rs_pp[idx_pp])
+    t0 = jnp.where(is_d, t_d_best, ts_pp[idx_pp])
+    inl_best = jnp.where(is_d, inliers_d[idx_d], inliers_pp[idx_pp])
+    w = inl_best.astype(X.dtype)
     R1, t1 = _gauss_newton_refine(R0, t0, X, x_pix, K, w, iters=refine_iters)
 
     refined_err = _reproj_err_sq(R1, t1, X, x_pix, K)
@@ -256,7 +414,7 @@ def solve_pnp_ransac(
     use_ref = refined_cnt >= counts[best]
     R_out = jnp.where(use_ref, R1, R0)
     t_out = jnp.where(use_ref, t1, t0)
-    inl_out = jnp.where(use_ref, refined_inl, inliers[best])
+    inl_out = jnp.where(use_ref, refined_inl, inl_best)
     cnt_out = jnp.where(use_ref, refined_cnt, counts[best])
     return {
         "R": R_out,

@@ -439,6 +439,95 @@ class TestSmallLinalg:
             dots = np.abs(np.einsum("bi,bi->b", v, ref))
             assert (dots > 0.999).mean() > 0.9, dots.min()
 
+    def test_spd_smallest_eigvec_soa_matches_array_form(self):
+        # the SoA form (hypotheses-on-lanes, r4) must agree with the array
+        # form it replaced in the essential hypothesis stage
+        from dfvo_tpu.solvers.linalg import (
+            spd_smallest_eigvec,
+            spd_smallest_eigvec_soa,
+        )
+
+        rng = np.random.RandomState(3)
+        for n in (4, 9):
+            M = self._spd(rng, 64, n)
+            Mj = jnp.asarray(M)
+            v_arr = np.asarray(spd_smallest_eigvec(Mj, iters=8))
+            m_soa = [[Mj[:, i, j] for j in range(i + 1)] for i in range(n)]
+            v_soa = np.stack(
+                [np.asarray(c) for c in spd_smallest_eigvec_soa(m_soa, iters=8)],
+                axis=-1,
+            )
+            np.testing.assert_allclose(v_soa, v_arr, rtol=1e-5, atol=1e-5)
+
+    def test_essential_hypotheses_soa_matches_vmap(self):
+        # SoA 8-point nullspaces == the vmapped essential_from_sample they
+        # replaced in find_essential_ransac (up to sign/scale: both return
+        # unit vectors from the same iteration, so compare directly)
+        from dfvo_tpu.solvers.essential import (
+            _essential_hypotheses_soa,
+            essential_from_sample,
+        )
+
+        rng = np.random.RandomState(4)
+        samp = rng.randn(64, 8, 6).astype(np.float32)
+        samp[..., 2] = 1.0
+        samp[..., 5] = 1.0
+        sj = jnp.asarray(samp)
+        Es_ref = np.asarray(
+            jax.vmap(
+                lambda s: essential_from_sample(
+                    s[..., :3], s[..., 3:], project=False, iters=6
+                )
+            )(sj)
+        ).reshape(64, 9)
+        Es_soa = np.stack(
+            [np.asarray(c) for c in _essential_hypotheses_soa(sj, iters=6)],
+            axis=-1,
+        )
+        np.testing.assert_allclose(Es_soa, Es_ref, rtol=2e-4, atol=2e-4)
+
+    def test_pnp_dlt_hypotheses_soa_matches_vmap(self):
+        from dfvo_tpu.solvers.pnp import (
+            _pnp_dlt_hypotheses_soa,
+            pnp_from_sample,
+        )
+
+        rng = np.random.RandomState(5)
+        X = rng.randn(32, 6, 3).astype(np.float32) * 2.0
+        X[..., 2] += 8.0
+        xs = (X[..., :2] / X[..., 2:3]).astype(np.float32)
+        xs += 0.01 * rng.randn(*xs.shape).astype(np.float32)
+        samp = jnp.asarray(np.concatenate([X, xs], axis=-1))
+        R_ref, t_ref = jax.vmap(
+            lambda s: pnp_from_sample(s[..., :3], s[..., 3:])
+        )(samp)
+        Rc, tc = _pnp_dlt_hypotheses_soa(samp)
+        R_soa = np.stack(
+            [np.asarray(Rc[r][s]) for r in range(3) for s in range(3)], -1
+        ).reshape(-1, 3, 3)
+        t_soa = np.stack([np.asarray(tc[r]) for r in range(3)], -1)
+        # same math, different f32 summation order — ill-conditioned minimal
+        # samples may diverge slightly after 6 inverse iterations, so require
+        # tight agreement on the bulk and functional equivalence on all
+        dR = np.abs(R_soa - np.asarray(R_ref)).max(axis=(1, 2))
+        t_ref_n = np.asarray(t_ref)
+        dt = np.abs(t_soa - t_ref_n).max(axis=1) / (
+            1.0 + np.linalg.norm(t_ref_n, axis=1)
+        )
+        assert (dR < 5e-3).mean() >= 0.9, dR
+        assert (dt < 5e-3).mean() >= 0.9, dt
+
+        def reproj_rms(R, t):
+            Xc = np.einsum("bij,bnj->bni", R, np.asarray(X)) + t[:, None]
+            proj = Xc[..., :2] / Xc[..., 2:3]
+            return np.sqrt(((proj - np.asarray(xs)) ** 2).sum(-1).mean(-1))
+
+        rms_soa = reproj_rms(R_soa, t_soa)
+        rms_ref = reproj_rms(np.asarray(R_ref), np.asarray(t_ref))
+        assert np.all(rms_soa <= rms_ref * 1.5 + 1e-3), (
+            rms_soa / np.maximum(rms_ref, 1e-12)
+        )
+
     def test_essential_uv_closed(self):
         from scipy.spatial.transform import Rotation as SR
 

@@ -51,6 +51,8 @@ VARIANTS = {
     },
     "hx+corrx": {"DFVO_HEADCONV_PALLAS": "0", "DFVO_CORR_PALLAS": "0"},
     "src_barrier": {"DFVO_WARP_SRC_BARRIER": "1"},
+    "warp_stack": {"DFVO_WARP_BUILD": "stack"},
+    "warp_xonly": {"DFVO_WARP_BUILD": "xonly"},
 }
 _ALL_FLAGS = sorted({k for v in VARIANTS.values() for k in v})
 
@@ -130,9 +132,56 @@ def trace_variant(name, flags, variables, imgs, outdir="/tmp/flownet_trace"):
     summarize_xplane(outdir, top=60)
 
 
+def bench_depth():
+    """Time the Monodepth2 depth net alone at chunk-batch shapes."""
+    from dfvo_tpu.models import Monodepth2Depth
+
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(
+        rng.rand(CHUNK, H, W, 3).astype(np.float32), jnp.bfloat16
+    )
+    net = Monodepth2Depth(min_depth=0.1, max_depth=100.0,
+                          baseline_multiplier=5.4)
+    variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3),
+                                                          jnp.bfloat16))
+    variables = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32
+        else x,
+        variables,
+    )
+
+    @jax.jit
+    def step(v, x, t):
+        out = net.apply(v, x + t * jnp.zeros((), x.dtype))
+        return jnp.sum(out["depth"].astype(jnp.float32)) * 1e-12
+
+    def run(k):
+        t = jnp.zeros((), imgs.dtype)
+        for _ in range(k):
+            t = step(variables, imgs, t.astype(imgs.dtype))
+        return float(t)
+
+    run(1)
+    k1, k2 = 2, 8
+    t1 = min(timed_call(run, k1) for _ in range(3))
+    t2 = min(timed_call(run, k2) for _ in range(3))
+    ms_step = (t2 - t1) / (k2 - k1) * 1e3
+    print(
+        f"depth_net      {ms_step:8.2f} ms/step  {ms_step / CHUNK:6.3f}"
+        " ms/frame",
+        flush=True,
+    )
+
+
 def main():
     names = sys.argv[1:] or list(VARIANTS)
     trace = False
+    if names and names[0] == "--depth":
+        bench_depth()
+        names = names[1:]
+        if not names:
+            return
     if names and names[0] == "--trace":
         trace = True
         names = names[1:] or ["base"]
