@@ -119,6 +119,15 @@ def _grid_sample_patch4(src, coords):
 
         src = _lax.optimization_barrier(src)
     build = os.environ.get("DFVO_WARP_BUILD", "base")
+    if build not in ("base", "pre_t", "stack", "xonly"):
+        # Fail loudly: a typo'd probe flag would silently measure the base
+        # build while the operator believes a variant was probed. NOTE:
+        # flags are read at TRACE time — traced step fns cached in
+        # dfvo._STEP_FN_CACHE / scan_runner._CHUNK_FN_CACHE will not
+        # reflect mid-process flag changes.
+        raise ValueError(
+            f"DFVO_WARP_BUILD={build!r} not in base|pre_t|stack|xonly"
+        )
     # flatten the table in [H, W, N, C] order: XLA:TPU convs produce the
     # {3,0,2,1} layout (physically H, W, N, C), so an NHWC-ordered reshape
     # forces a ~125 MB materializing copy per warp at LiteFlowNet level 2.

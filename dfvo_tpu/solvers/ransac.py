@@ -26,13 +26,51 @@ def _mix32(x):
     return x ^ (x >> 16)
 
 
+def _valid_front_order(valid_mask):
+    """Stable compaction permutation: valid indices first, invalid after.
+
+    Built WITHOUT a sort (XLA sort of the kp array costs ~0.1 ms per RANSAC
+    entry point on TPU; cumsum + scatter is a bandwidth-bound O(N) pass).
+
+    Returns:
+        (order [N] int32, count uint32) — ``order[:count]`` are the valid
+        indices in original order; count is clamped to >= 1.
+    """
+    n = valid_mask.shape[0]
+    cs_valid = jnp.cumsum(valid_mask)
+    n_valid = cs_valid[-1]
+    cs_invalid = jnp.cumsum(~valid_mask)
+    pos = jnp.where(valid_mask, cs_valid - 1, n_valid + cs_invalid - 1)
+    order = jnp.zeros(n, jnp.int32).at[pos].set(
+        jnp.arange(n, dtype=jnp.int32)
+    )
+    return order, jnp.maximum(n_valid, 1).astype(jnp.uint32)
+
+
+def _hash_draw(rng, num_draws, count):
+    """``[num_draws]`` int32 uniform draws in [0, count) from a hashed iota.
+
+    Counter-based hash draw instead of jax.random.randint: threefry on
+    TPU costs ~0.23 ms/frame for these tables under the tracking vmap
+    (round-3 device trace, s32[32,1280,8] fusions); a splitmix-style
+    avalanche of a seeded iota is statistically ample for RANSAC
+    sample selection and is a handful of elementwise VPU ops.
+    """
+    kd = jnp.asarray(jax.random.key_data(rng), jnp.uint32).reshape(-1)
+    base = _mix32(kd[0] * np.uint32(0x9E3779B9) ^ _mix32(kd[-1]))
+    iota = jax.lax.iota(jnp.uint32, num_draws)
+    raw = _mix32(iota * np.uint32(0x9E3779B9) + base)
+    return (raw % count).astype(jnp.int32)
+
+
 def sample_indices(rng, valid_mask, num_hypotheses, sample_size):
     """Draw ``[M x k]`` indices of valid points for minimal samples.
 
-    Valid indices are compacted to the front with a stable argsort, then
-    sampled uniformly (with replacement across hypotheses; duplicates within a
-    sample are possible but rare for N >> k and merely waste that hypothesis
-    — the degenerate model scores few inliers and loses the argmax).
+    Valid indices are compacted to the front with a stable cumsum scatter,
+    then sampled uniformly (with replacement across hypotheses; duplicates
+    within a sample are possible but rare for N >> k and merely waste that
+    hypothesis — the degenerate model scores few inliers and loses the
+    argmax).
 
     Args:
         rng: PRNG key.
@@ -44,29 +82,9 @@ def sample_indices(rng, valid_mask, num_hypotheses, sample_size):
         [M x k] int32 indices into the N points (always valid indices, as
         long as at least one point is valid).
     """
-    n = valid_mask.shape[0]
-    # stable compaction of valid indices to the front WITHOUT a sort (XLA
-    # sort of the kp array costs ~0.1 ms per RANSAC entry point on TPU;
-    # cumsum + scatter is a bandwidth-bound O(N) pass)
-    cs_valid = jnp.cumsum(valid_mask)
-    n_valid = cs_valid[-1]
-    cs_invalid = jnp.cumsum(~valid_mask)
-    pos = jnp.where(valid_mask, cs_valid - 1, n_valid + cs_invalid - 1)
-    order = jnp.zeros(n, jnp.int32).at[pos].set(
-        jnp.arange(n, dtype=jnp.int32)
-    )
-    count = jnp.maximum(n_valid, 1).astype(jnp.uint32)
-    # counter-based hash draw instead of jax.random.randint: threefry on
-    # TPU costs ~0.23 ms/frame for these tables under the tracking vmap
-    # (round-3 device trace, s32[32,1280,8] fusions); a splitmix-style
-    # avalanche of a seeded iota is statistically ample for RANSAC
-    # sample selection and is a handful of elementwise VPU ops
-    kd = jnp.asarray(jax.random.key_data(rng), jnp.uint32).reshape(-1)
-    base = _mix32(kd[0] * np.uint32(0x9E3779B9) ^ _mix32(kd[-1]))
-    iota = jax.lax.iota(jnp.uint32, num_hypotheses * sample_size)
-    raw = _mix32(iota * np.uint32(0x9E3779B9) + base)
-    raw = raw.reshape(num_hypotheses, sample_size)
-    return order[(raw % count).astype(jnp.int32)]
+    order, count = _valid_front_order(valid_mask)
+    draws = _hash_draw(rng, num_hypotheses * sample_size, count)
+    return order[draws.reshape(num_hypotheses, sample_size)]
 
 
 def sample_points(rng, pts, valid_mask, num_hypotheses, sample_size):
@@ -91,25 +109,12 @@ def sample_points(rng, pts, valid_mask, num_hypotheses, sample_size):
     Returns:
         [M x k x D] sampled rows (valid rows only, given any valid point).
     """
-    n = valid_mask.shape[0]
-    cs_valid = jnp.cumsum(valid_mask)
-    n_valid = cs_valid[-1]
-    cs_invalid = jnp.cumsum(~valid_mask)
-    pos = jnp.where(valid_mask, cs_valid - 1, n_valid + cs_invalid - 1)
-    order = jnp.zeros(n, jnp.int32).at[pos].set(
-        jnp.arange(n, dtype=jnp.int32)
-    )
+    order, count = _valid_front_order(valid_mask)
     compact = jnp.take(
         pts, order, axis=0, mode="clip"
     )  # [N x D], valid rows first
-    count = jnp.maximum(n_valid, 1).astype(jnp.uint32)
-    kd = jnp.asarray(jax.random.key_data(rng), jnp.uint32).reshape(-1)
-    base = _mix32(kd[0] * np.uint32(0x9E3779B9) ^ _mix32(kd[-1]))
-    iota = jax.lax.iota(jnp.uint32, num_hypotheses * sample_size)
-    raw = _mix32(iota * np.uint32(0x9E3779B9) + base)
-    picked = jnp.take(
-        compact, (raw % count).astype(jnp.int32), axis=0, mode="clip"
-    )
+    draws = _hash_draw(rng, num_hypotheses * sample_size, count)
+    picked = jnp.take(compact, draws, axis=0, mode="clip")
     return picked.reshape(num_hypotheses, sample_size, pts.shape[-1])
 
 

@@ -262,3 +262,72 @@ class TestGridSamplePacked:
         assert np.isfinite(np.asarray(g_img)).all()
         assert np.isfinite(np.asarray(g_flow)).all()
         assert float(jnp.abs(g_img).sum()) > 0
+
+
+class TestEnvGatedVariants:
+    """Every env-gated numeric variant (perf probe levers) must be
+    bit-identical to the default path — a silent mismatch would corrupt
+    probe-driven flag flips (ADVICE r4). Flags are read at trace time, so
+    plain (unjitted) calls see the monkeypatched values."""
+
+    def _dense_case(self, seed=7, n=3, h=12, w=17, c=6):
+        rng = np.random.RandomState(seed)
+        src = jnp.array(rng.randn(n, h, w, c).astype(np.float32))
+        coords = jnp.array(
+            rng.uniform(-2, max(h, w) + 2, size=(n, h, w, 2)).astype(
+                np.float32
+            )
+        )
+        return src, coords
+
+    @pytest.mark.parametrize("build", ["pre_t", "stack", "xonly"])
+    def test_warp_build_variants_match_base(self, monkeypatch, build):
+        from dfvo_tpu.ops.warp import _grid_sample_patch4
+
+        src, coords = self._dense_case()
+        monkeypatch.delenv("DFVO_WARP_BUILD", raising=False)
+        base = np.asarray(_grid_sample_patch4(src, coords))
+        monkeypatch.setenv("DFVO_WARP_BUILD", build)
+        var = np.asarray(_grid_sample_patch4(src, coords))
+        np.testing.assert_array_equal(base, var)
+
+    def test_warp_src_barrier_matches_base(self, monkeypatch):
+        from dfvo_tpu.ops.warp import _grid_sample_patch4
+
+        src, coords = self._dense_case(seed=8)
+        monkeypatch.delenv("DFVO_WARP_SRC_BARRIER", raising=False)
+        base = np.asarray(_grid_sample_patch4(src, coords))
+        monkeypatch.setenv("DFVO_WARP_SRC_BARRIER", "1")
+        var = np.asarray(_grid_sample_patch4(src, coords))
+        np.testing.assert_array_equal(base, var)
+
+    def test_warp_build_unknown_value_raises(self, monkeypatch):
+        from dfvo_tpu.ops.warp import _grid_sample_patch4
+
+        src, coords = self._dense_case(seed=9, n=1, h=6, w=6, c=2)
+        monkeypatch.setenv("DFVO_WARP_BUILD", "xpair")  # typo'd probe
+        with pytest.raises(ValueError, match="DFVO_WARP_BUILD"):
+            _grid_sample_patch4(src, coords)
+
+    def test_deconv_elementwise_matches_conv(self, monkeypatch):
+        import jax
+
+        from dfvo_tpu.models.liteflownet import _DepthwiseDeconv2x
+
+        rng = np.random.RandomState(11)
+        x = jnp.array(rng.randn(2, 9, 13, 4).astype(np.float32))
+        mod = _DepthwiseDeconv2x(4)
+        params = mod.init(jax.random.PRNGKey(0), x)
+        monkeypatch.delenv("DFVO_DECONV_EW", raising=False)
+        base = np.asarray(mod.apply(params, x))
+        monkeypatch.setenv("DFVO_DECONV_EW", "1")
+        var = np.asarray(mod.apply(params, x))
+        assert base.shape == (2, 18, 26, 4)
+        np.testing.assert_allclose(base, var, atol=1e-6)
+
+    def test_trunk_barrier_is_identity(self, monkeypatch):
+        from dfvo_tpu.models.liteflownet import _trunk_barrier
+
+        x = jnp.array(np.random.RandomState(12).randn(3, 5).astype(np.float32))
+        monkeypatch.setenv("DFVO_TRUNK_BARRIER", "1")
+        np.testing.assert_array_equal(np.asarray(_trunk_barrier(x)), np.asarray(x))

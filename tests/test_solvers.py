@@ -75,6 +75,41 @@ class TestSampling:
         vals = np.asarray(idx).ravel()
         assert set(vals).issubset({1, 3, 4})
 
+    def test_sample_points_matches_indices_bitwise(self):
+        """sample_points is the production draw for all four RANSAC entry
+        points; it must equal pts[sample_indices(...)] bitwise (same rng →
+        same hash draw) and return only valid rows."""
+        from dfvo_tpu.solvers.ransac import sample_points
+
+        rng_np = np.random.RandomState(0)
+        pts = jnp.array(rng_np.randn(37, 5).astype(np.float32))
+        mask = jnp.array(rng_np.rand(37) > 0.4)
+        key = jax.random.PRNGKey(3)
+        picked = sample_points(key, pts, mask, 32, 8)
+        idx = sample_indices(key, mask, 32, 8)
+        np.testing.assert_array_equal(
+            np.asarray(picked), np.asarray(pts)[np.asarray(idx)]
+        )
+        valid_rows = {
+            tuple(r) for r in np.asarray(pts)[np.asarray(mask)].tolist()
+        }
+        for row in np.asarray(picked).reshape(-1, 5).tolist():
+            assert tuple(row) in valid_rows
+
+    def test_sample_points_all_invalid(self):
+        """All-invalid mask: count clamps to 1 and draws stay in bounds
+        (callers gate on n_valid separately); rows come from the table."""
+        from dfvo_tpu.solvers.ransac import sample_points
+
+        pts = jnp.array(np.random.RandomState(1).randn(9, 3).astype(np.float32))
+        mask = jnp.zeros(9, bool)
+        key = jax.random.PRNGKey(5)
+        picked = np.asarray(sample_points(key, pts, mask, 4, 2))
+        assert picked.shape == (4, 2, 3)
+        assert np.isfinite(picked).all()
+        idx = np.asarray(sample_indices(key, mask, 4, 2))
+        np.testing.assert_array_equal(picked, np.asarray(pts)[idx])
+
 
 class TestEssential:
     def test_ransac_recovers_pose(self):
