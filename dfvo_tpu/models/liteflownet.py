@@ -135,22 +135,49 @@ def _deconv2x_elementwise(x, kernel):
     return out.reshape(n, 2 * h, 2 * w, c)
 
 
+def _pair_refs(f):
+    """M consecutive frames -> the 2(M-1) reference-side batch (forward
+    pairs i->i+1 then backward pairs i+1->i): refs are frames [0..M-2] then
+    [1..M-1]."""
+    return jnp.concatenate([f[:-1], f[1:]], axis=0)
+
+
+def _pair_targets(f):
+    """Target-side batch of the forward+backward pairing: frames [1..M-1]
+    then [0..M-2]."""
+    return jnp.concatenate([f[1:], f[:-1]], axis=0)
+
+
 class _Matching(nn.Module):
     level: int
     use_pallas: Any = None
 
     @nn.compact
-    def __call__(self, feat1, feat2, flow):
+    def __call__(self, feat1, feat2, flow, ids2=None):
+        """``ids2`` enables the unique-frame form (consecutive pair mode):
+        ``feat2`` holds the M unique frames and every warp gathers from a
+        patch table built ONCE over them (ids2 maps the 2(M-1) output rows
+        to source frames); at level 2 ``feat1`` is also the unique array and
+        feat_conv runs on M frames instead of 2 x 2(M-1)."""
         lvl = self.level
         if lvl == 2:
             feat_conv = _conv(64, 1, name="feat_conv")  # shared for both views
-            feat1 = _leaky(feat_conv(feat1))
-            feat2 = _leaky(feat_conv(feat2))
+            if ids2 is not None:
+                u = _leaky(feat_conv(feat1))
+                feat1 = _pair_refs(u)
+                feat2 = u
+            else:
+                feat1 = _leaky(feat_conv(feat1))
+                feat2 = _leaky(feat_conv(feat2))
         if flow is not None:
             flow = _DepthwiseDeconv2x(2, name="upflow")(flow)
         if lvl >= 4:
             if flow is not None:
-                feat2 = warp_image_by_flow(feat2, flow * _FLOW_SCALE[lvl])
+                feat2 = warp_image_by_flow(
+                    feat2, flow * _FLOW_SCALE[lvl], frame_ids=ids2
+                )
+            elif ids2 is not None:
+                feat2 = _pair_targets(feat2)  # level 6: unwarped correlation
             corr = _leaky(
                 correlation(feat1, feat2, 3, 1, use_pallas=self.use_pallas)
             )
@@ -160,13 +187,10 @@ class _Matching(nn.Module):
             # corr(f1[::2],f2[::2],D,1), see pallas_corr.py), so warp only
             # those sites: 4x fewer gather rows at the two biggest levels —
             # bit-identical to warp-then-subsample (pointwise op)
-            if flow is not None:
-                from ..ops.warp import flow_to_coords, grid_sample
+            from ..ops.warp import flow_to_coords, grid_sample
 
-                coords = flow_to_coords(flow * _FLOW_SCALE[lvl])[:, ::2, ::2]
-                feat2_sub = grid_sample(feat2, coords)
-            else:
-                feat2_sub = feat2[:, ::2, ::2]
+            coords = flow_to_coords(flow * _FLOW_SCALE[lvl])[:, ::2, ::2]
+            feat2_sub = grid_sample(feat2, coords, frame_ids=ids2)
             corr = _leaky(
                 correlation(
                     feat1[:, ::2, ::2],
@@ -188,13 +212,20 @@ class _Subpixel(nn.Module):
     level: int
 
     @nn.compact
-    def __call__(self, feat1, feat2, flow):
+    def __call__(self, feat1, feat2, flow, ids2=None):
         lvl = self.level
         if lvl == 2:
             feat_conv = _conv(64, 1, name="feat_conv")  # shared for both views
-            feat1 = _leaky(feat_conv(feat1))
-            feat2 = _leaky(feat_conv(feat2))
-        feat2 = warp_image_by_flow(feat2, flow * _FLOW_SCALE[lvl])
+            if ids2 is not None:
+                u = _leaky(feat_conv(feat1))
+                feat1 = _pair_refs(u)
+                feat2 = u
+            else:
+                feat1 = _leaky(feat_conv(feat1))
+                feat2 = _leaky(feat_conv(feat2))
+        feat2 = warp_image_by_flow(
+            feat2, flow * _FLOW_SCALE[lvl], frame_ids=ids2
+        )
         x = _trunk_barrier(jnp.concatenate([feat1, feat2, flow], axis=-1))
         x = _leaky(_conv(128, 3, name="main_0")(x))
         x = _leaky(_conv(64, 3, name="main_1")(x))
@@ -227,12 +258,14 @@ class _Regularization(nn.Module):
     use_pallas: Any = None
 
     @nn.compact
-    def __call__(self, img1, img2, feat1, flow):
+    def __call__(self, img1, img2, feat1, flow, ids2=None):
         lvl = self.level
         k = _LEVEL_KERNEL[lvl]
         dist_ch = _DIST_CH[lvl]
 
-        diff = img1 - warp_image_by_flow(img2, flow * _FLOW_SCALE[lvl])
+        diff = img1 - warp_image_by_flow(
+            img2, flow * _FLOW_SCALE[lvl], frame_ids=ids2
+        )
         diff = jnp.sqrt(jnp.sum(diff**2, axis=-1, keepdims=True) + 1e-6)
 
         if lvl < 5:
@@ -323,11 +356,37 @@ class LiteFlowNet(nn.Module):
           output batch 2(M-1). Features computed once for M frames instead
           of 4(M-1) — the batch-mode amortization (pipeline/scan_runner.py).
         """
+        import os
+
+        unique_tables = os.environ.get("DFVO_UNIQUE_TABLES", "1")
+        if unique_tables not in ("0", "1"):
+            raise ValueError(
+                f"DFVO_UNIQUE_TABLES={unique_tables!r} not in 0|1"
+            )
+        # Unique-frame warp tables (r5): in consecutive mode the 2(M-1)
+        # target-side batch rows are shuffled copies of the M unique
+        # frames, so every packed warp table (ops/warp.py) was built — and
+        # the level-2 feat_convs run — twice over the same data. Keep the
+        # target side as the M unique frames and let each warp gather with
+        # a frame-id map instead; bit-identical (same table rows selected),
+        # gated by tests/test_liteflownet.py.
+        ids2 = None
+        if pair_mode == "consecutive" and unique_tables == "1":
+            m = img1.shape[0]
+            ids2 = jnp.concatenate(
+                [jnp.arange(1, m), jnp.arange(0, m - 1)]
+            ).astype(jnp.int32)
+
         features = _Features(name="features")  # shared for both views
         if pair_mode == "consecutive":
             feats_all: List = features(img1)
             feats1 = [jnp.concatenate([f[:-1], f[1:]], axis=0) for f in feats_all]
-            feats2 = [jnp.concatenate([f[1:], f[:-1]], axis=0) for f in feats_all]
+            if ids2 is None:
+                feats2 = [
+                    jnp.concatenate([f[1:], f[:-1]], axis=0) for f in feats_all
+                ]
+            else:
+                feats2 = feats_all  # unique frames; warps map via ids2
         else:
             feats1 = features(img1)
             if pair_mode == "shared":
@@ -345,10 +404,13 @@ class LiteFlowNet(nn.Module):
                 l: jnp.concatenate([p[:-1], p[1:]], axis=0)
                 for l, p in pyr.items()
             }
-            imgs2 = {
-                l: jnp.concatenate([p[1:], p[:-1]], axis=0)
-                for l, p in pyr.items()
-            }
+            if ids2 is None:
+                imgs2 = {
+                    l: jnp.concatenate([p[1:], p[:-1]], axis=0)
+                    for l, p in pyr.items()
+                }
+            else:
+                imgs2 = pyr
         else:
             imgs1 = {1: img1}
             imgs2 = {1: img2}
@@ -365,14 +427,22 @@ class LiteFlowNet(nn.Module):
         flows = {}
         for lvl in range(6, 1, -1):
             f1, f2 = feats1[lvl - 1], feats2[lvl - 1]
+            if lvl == 2 and ids2 is not None:
+                # level-2 modules feat_conv the raw features themselves;
+                # hand them the unique array so the conv runs on M frames
+                mf1 = feats_all[1]
+            else:
+                mf1 = f1
             flow = _Matching(
                 lvl, use_pallas=self.use_pallas, name=f"matching_{lvl}"
-            )(f1, f2, flow)
-            flow = _Subpixel(lvl, name=f"subpixel_{lvl}")(f1, f2, flow)
+            )(mf1, f2, flow, ids2=ids2)
+            flow = _Subpixel(lvl, name=f"subpixel_{lvl}")(
+                mf1, f2, flow, ids2=ids2
+            )
             flow = _Regularization(
                 lvl, use_pallas=self.use_pallas,
                 name=f"regularization_{lvl}",
-            )(imgs1[lvl], imgs2[lvl], f1, flow)
+            )(imgs1[lvl], imgs2[lvl], f1, flow, ids2=ids2)
             flows[lvl - 1] = flow
 
         return {i: flows[i] * (20.0 * 0.5**i) for i in flows}

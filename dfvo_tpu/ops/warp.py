@@ -33,7 +33,7 @@ def flow_to_coords(flow):
     return flow + coords_grid(h, w, flow.dtype)
 
 
-def grid_sample(src, coords, padding_mode="zeros"):
+def grid_sample(src, coords, padding_mode="zeros", frame_ids=None):
     """Bilinear sampling of ``src`` at pixel coordinates ``coords``.
 
     The 'zeros' mode (every hot-path warp) routes to the packed-patch
@@ -41,13 +41,20 @@ def grid_sample(src, coords, padding_mode="zeros"):
 
     Args:
         src: (array, [NxHxWxC]) source image/feature map.
-        coords: (array, [NxH'xW'x2]) sample locations as [x, y] in pixels of
-            ``src``'s frame.
+        coords: (array, [BxH'xW'x2]) sample locations as [x, y] in pixels of
+            ``src``'s frame. B == N unless ``frame_ids`` is given.
         padding_mode: 'zeros' (out-of-bounds reads 0) or 'border' (clamped),
             matching torch grid_sample's modes.
+        frame_ids: optional (array, [B] int32) mapping each coords batch row
+            to a ``src`` frame. Lets several output batch rows sample the
+            SAME source frame without materializing duplicate copies of it —
+            the scan pipeline's forward+backward pairing over M consecutive
+            frames otherwise builds every packed patch table twice
+            (2(M-1) batch rows of M unique frames; r5 profile: the L2/L3
+            table builds were ~0.66 ms/frame, half of it duplicates).
 
     Returns:
-        (array, [NxH'xW'xC]) sampled values.
+        (array, [BxH'xW'xC]) sampled values.
     """
     import numpy as _np
 
@@ -64,14 +71,24 @@ def grid_sample(src, coords, padding_mode="zeros"):
         # (the stride-2 correlation warps) the packed table beats four
         # narrow gathers (0.51 vs 0.65 ms/frame at level 2) — narrow
         # gathers pay the per-row minimum regardless of byte width.
-        return _grid_sample_patch4(src, coords)
+        return _grid_sample_patch4(src, coords, frame_ids)
     # very sparse sampling (keypoint lookups: ~2k of ~100k sites): the
     # full-size patch-table build would dominate — gather only the
     # needed rows
-    return _grid_sample_gather4(src, coords, padding_mode)
+    return _grid_sample_gather4(src, coords, padding_mode, frame_ids)
 
 
-def _grid_sample_patch4(src, coords):
+def _batch_offsets(n, out_shape, frame_ids):
+    """Per-output-batch-row source-frame offsets, broadcastable against
+    [B, ...spatial] index maps."""
+    if frame_ids is None:
+        off = jnp.arange(n, dtype=jnp.int32)
+    else:
+        off = frame_ids.astype(jnp.int32)
+    return off.reshape((out_shape[0],) + (1,) * (len(out_shape) - 1))
+
+
+def _grid_sample_patch4(src, coords, frame_ids=None):
     """Zeros-padding bilinear sampling as ONE gather of 4C-wide rows.
 
     TPU gathers cost ~(fixed + bytes) *per gathered row* (measured on v5e:
@@ -128,6 +145,22 @@ def _grid_sample_patch4(src, coords):
         raise ValueError(
             f"DFVO_WARP_BUILD={build!r} not in base|pre_t|stack|xonly"
         )
+    if c <= 4:
+        # small-channel (image / flow) warps build 4c<=16-wide tables whose
+        # minor dim is far below the 128 lanes; XLA lays the base build's
+        # concat out transposed and serializes it into a 12-step
+        # dynamic-update-slice while loop (~0.2 ms/frame, r5 trace
+        # %while.84/85). Probe-gated variant selection, parity-tested in
+        # tests/test_geometry.py::TestEnvGatedVariants.
+        build_sc = os.environ.get("DFVO_WARP_BUILD_SMALLC", build)
+        if build_sc not in ("base", "pre_t", "stack", "xonly"):
+            raise ValueError(
+                f"DFVO_WARP_BUILD_SMALLC={build_sc!r} not in "
+                "base|pre_t|stack|xonly"
+            )
+        build = build_sc
+        if build == "xonly":
+            return _grid_sample_xpair(src, coords, frame_ids)
     # flatten the table in [H, W, N, C] order: XLA:TPU convs produce the
     # {3,0,2,1} layout (physically H, W, N, C), so an NHWC-ordered reshape
     # forces a ~125 MB materializing copy per warp at LiteFlowNet level 2.
@@ -172,7 +205,7 @@ def _grid_sample_patch4(src, coords):
         # gather TWO rows per sample (y0, y0+1). Build writes half the
         # bytes; gathers pay ~+18% on the row-cost model (two 256 B rows
         # vs one 512 B row at L2 features).
-        return _grid_sample_xpair(src, coords)
+        return _grid_sample_xpair(src, coords, frame_ids)
     else:
         patches = jnp.concatenate(
             [
@@ -186,9 +219,7 @@ def _grid_sample_patch4(src, coords):
         p_flat = jnp.transpose(patches, (1, 2, 0, 3)).reshape(
             (h - 1) * (w - 1) * n, 4 * c
         )
-    batch_off = jnp.arange(n, dtype=jnp.int32).reshape(
-        (n,) + (1,) * (len(out_shape) - 1)
-    )
+    batch_off = _batch_offsets(n, out_shape, frame_ids)
     # idx is in-bounds by construction (y0c/x0c clipped above), so
     # mode='clip' is a no-op on the index fusion; jnp.take's default
     # 'fill' mode instead adds a compare+select pass over the full
@@ -231,7 +262,7 @@ def _grid_sample_patch4(src, coords):
     )
 
 
-def _grid_sample_xpair(src, coords):
+def _grid_sample_xpair(src, coords, frame_ids=None):
     """Zeros-mode bilinear sampling from an x-pair table with two gathers
     (probe variant: see DFVO_WARP_BUILD=xonly in _grid_sample_patch4)."""
     n, h, w, c = src.shape
@@ -255,9 +286,7 @@ def _grid_sample_xpair(src, coords):
     p2_flat = jnp.concatenate(
         [src_t[:, :-1], src_t[:, 1:]], axis=-1
     ).reshape(h * (w - 1) * n, 2 * c)
-    batch_off = jnp.arange(n, dtype=jnp.int32).reshape(
-        (n,) + (1,) * (len(out_shape) - 1)
-    )
+    batch_off = _batch_offsets(n, out_shape, frame_ids)
     idx0 = (y0c * (w - 1) + x0c) * n + batch_off
     row_stride = (w - 1) * n
     if len(out_shape) == 3:
@@ -294,7 +323,7 @@ def _grid_sample_xpair(src, coords):
     )
 
 
-def _grid_sample_gather4(src, coords, padding_mode="zeros"):
+def _grid_sample_gather4(src, coords, padding_mode="zeros", frame_ids=None):
     """Reference 4-gather bilinear sampling (kept for 'border' mode, for
     degenerate 1-pixel sources, and as the parity oracle for the packed
     kernel in tests)."""
@@ -341,9 +370,7 @@ def _grid_sample_gather4(src, coords, padding_mode="zeros"):
     # take_along_axis (measured at LiteFlowNet level-2 sizes). [H,W,N,C]
     # table order matches the {3,0,2,1} conv layout (see _grid_sample_patch4)
     src_flat = jnp.transpose(src, (1, 2, 0, 3)).reshape(h * w * n, c)
-    batch_off = jnp.arange(n, dtype=jnp.int32).reshape(
-        (n,) + (1,) * (len(out_shape) - 1)
-    )
+    batch_off = _batch_offsets(n, out_shape, frame_ids)
 
     def gather(yi, xi):
         idx = ((yi * w + xi) * n + batch_off).reshape(-1)
@@ -364,10 +391,15 @@ def _grid_sample_gather4(src, coords, padding_mode="zeros"):
     return v00 * w00 + v10 * w10 + v01 * w01 + v11 * w11
 
 
-def warp_image_by_flow(img, flow, padding_mode="zeros"):
-    """Backward-warp ``img`` ([NxHxWxC]) by ``flow`` ([NxHxWx2]): output pixel
-    p takes the value of ``img`` at p + flow(p).
+def warp_image_by_flow(img, flow, padding_mode="zeros", frame_ids=None):
+    """Backward-warp ``img`` by ``flow`` ([BxHxWx2]): output pixel p takes
+    the value of ``img`` at p + flow(p). ``img`` is [BxHxWxC], or unique
+    source frames [MxHxWxC] addressed per batch row via ``frame_ids``
+    (see grid_sample).
 
     Equivalent of the reference's `Backward` warp (lite_flow_net.py:10-28).
     """
-    return grid_sample(img, flow_to_coords(flow), padding_mode=padding_mode)
+    return grid_sample(
+        img, flow_to_coords(flow), padding_mode=padding_mode,
+        frame_ids=frame_ids,
+    )

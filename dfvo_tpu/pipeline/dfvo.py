@@ -295,12 +295,14 @@ class DFVO:
         """Run the full sequence (ref dfvo.py:347-425).
 
         ``tpu.execution`` selects the frame loop: ``frame`` (default;
-        one fused device step per frame — required for online finetuning,
-        deep_pose tracking, gt depth and full per-frame visualization) or
-        ``scan`` (chunked on-device loop via :class:`ScanRunner` — the
-        benchmark-grade throughput path; SURVEY.md §7 "scanned over the
-        sequence"). Scan mode draws the trajectory map only (the
-        per-frame diagnostic tiles need per-frame host data by design).
+        one fused device step per frame — required for deep_pose tracking,
+        gt depth and full per-frame visualization) or ``scan`` (chunked
+        on-device loop via :class:`ScanRunner` — the benchmark-grade
+        throughput path; SURVEY.md §7 "scanned over the sequence"). Scan
+        mode supports online finetuning (one update per frame pair, run as
+        a chunk-level scan; weights used for inference lag by at most one
+        chunk) and draws the trajectory map only (the per-frame diagnostic
+        tiles need per-frame host data by design).
         """
         execution = str(self.cfg.tpu.get("execution", "frame"))
         if execution == "scan":
@@ -354,8 +356,6 @@ class DFVO:
         unsupported = []
         if self.tracking_method == "deep_pose":
             unsupported.append("tracking_method: deep_pose")
-        if self.finetuner is not None:
-            unsupported.append("online_finetune.enable")
         if self.use_gt_depth:
             unsupported.append("depth_src: gt")
         if self.cfg.deep_pose.enable:
@@ -419,6 +419,17 @@ class DFVO:
             jnp.asarray(1.0, jnp.float32),
         )
 
+        # online finetuning in scan mode: one Adam update per frame pair
+        # (the reference cadence, ref deep_models.py:232-338) applied as a
+        # single chunk-level lax.scan after each tracked chunk; inference
+        # for chunk k uses the weights as of the end of chunk k-1 (gradient
+        # staleness <= scan_chunk frames — see OnlineFinetuner.
+        # make_chunk_update_fn)
+        chunk_update = None
+        if self.finetuner is not None:
+            chunk_update = self.finetuner.make_chunk_update_fn()
+            prev_img_np = np.asarray(img0, np.uint8)
+
         base = jax.random.PRNGKey(self.cfg.seed)
         rest = frame_ids[1:]
         h, w = self.cfg.image.height, self.cfg.image.width
@@ -449,6 +460,39 @@ class DFVO:
                     self.K_inv,
                 )
                 rel = np.asarray(poses, np.float64)[: len(ids)]
+
+            if chunk_update is not None and (
+                self.finetuner.num_frames is None
+                or self.finetune_cnt < self.finetuner.num_frames
+            ):
+                with self.timers.scope("finetune", "DF-VO"):
+                    n_active = len(ids)
+                    if self.finetuner.num_frames is not None:
+                        n_active = min(
+                            n_active,
+                            self.finetuner.num_frames - self.finetune_cnt,
+                        )
+                    pair_imgs = jnp.asarray(
+                        np.concatenate([prev_img_np[None], imgs], axis=0)
+                    )
+                    (
+                        self.variables,
+                        self.opt_state,
+                        _ft_losses,
+                    ) = chunk_update(
+                        self.variables,
+                        self.opt_state,
+                        pair_imgs,
+                        poses.astype(jnp.float32),
+                        jnp.asarray(n_active, jnp.int32),
+                    )
+                    self.infer_variables = self.frontend.prepare_variables(
+                        self.variables
+                    )
+                    self.finetune_cnt += n_active
+            if chunk_update is not None:
+                prev_img_np = imgs[len(ids) - 1]
+
             prev = self.global_poses[frame_ids[c0]].pose
             for j, i in enumerate(ids):
                 prev = prev @ rel[j]

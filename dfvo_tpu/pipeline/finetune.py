@@ -232,6 +232,65 @@ class OnlineFinetuner:
             return jax.jit(update)
         return update
 
+    def make_chunk_update_fn(self):
+        """Build the jitted CHUNK finetuning step for scan execution
+        (pipeline/dfvo.py:_main_scan).
+
+        Runs ONE Adam update per frame pair — the exact reference cadence
+        (ref deep_models.py:232-338, one ``adapt()`` per tracked frame) —
+        as a ``lax.scan`` over the chunk's pairs, so the whole chunk's
+        adaptation is a single device dispatch. The only semantic
+        difference from frame execution is staleness: inference for the
+        frames of chunk k uses the weights as of the END of chunk k-1
+        (frame mode applies each update before the next frame's
+        inference), i.e. a gradient delay of at most ``scan_chunk``
+        frames; the per-pair losses/updates themselves are computed with
+        the incrementally-updated weights exactly like frame mode.
+
+        Signature: ``(variables, opt_state, imgs_u8 [T+1,H,W,3], poses
+        [T,4,4], n_active) -> (variables, opt_state, losses [T])`` where
+        pair i is (frame i -> frame i+1) and pairs with index >=
+        ``n_active`` (chunk padding / past the ``num_frames`` budget) are
+        skipped (loss reported as 0).
+        """
+        loss_fn = self.loss_fn
+
+        def chunk_update(variables, opt_state, imgs_u8, poses, n_active):
+            imgs = imgs_u8.astype(jnp.float32) / 255.0
+            trainable0 = self._trainable(variables)
+
+            def body(carry, x):
+                trainable, opt_state = carry
+                i, img_ref, img_cur, pose = x
+
+                def do(operand):
+                    tr, st = operand
+                    loss, grads = jax.value_and_grad(loss_fn)(
+                        tr, variables, img_ref[None], img_cur[None],
+                        pose[None],
+                    )
+                    updates, st = self.optimizer.update(grads, st, tr)
+                    return optax.apply_updates(tr, updates), st, loss
+
+                def skip(operand):
+                    tr, st = operand
+                    return tr, st, jnp.float32(0.0)
+
+                trainable, opt_state, loss = jax.lax.cond(
+                    i < n_active, do, skip, (trainable, opt_state)
+                )
+                return (trainable, opt_state), loss
+
+            n = poses.shape[0]
+            (trainable, opt_state), losses = jax.lax.scan(
+                body,
+                (trainable0, opt_state),
+                (jnp.arange(n), imgs[:-1], imgs[1:], poses),
+            )
+            return self._merge(variables, trainable), opt_state, losses
+
+        return jax.jit(chunk_update)
+
     def _trainable(self, variables):
         t = {}
         if self.train_flow:

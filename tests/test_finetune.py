@@ -108,6 +108,123 @@ def test_online_finetune_hd3_flow():
     assert delta > 1e-4, "hd3 flow weights not updated"
 
 
+def test_chunk_update_matches_sequential_frame_updates():
+    """The scan-mode chunk finetuning step (one lax.scan over the chunk's
+    pairs) must equal applying the per-frame update sequentially — the
+    trainable params thread through the scan carry exactly as frame mode
+    threads them through the Python loop — and must skip pairs past
+    ``n_active`` (chunk padding / num_frames budget)."""
+    import jax.numpy as jnp
+
+    from dfvo_tpu.pipeline.finetune import OnlineFinetuner
+    from dfvo_tpu.pipeline.frontend import DeepFrontend
+
+    cfg = ConfigLoader().merge_cfg(
+        [os.path.join(REPO, "options/examples/default_configuration.yml")]
+    )
+    cfg.image.height = 64
+    cfg.image.width = 96
+    cfg.online_finetune.enable = True
+    cfg.online_finetune.flow.enable = True
+    cfg.online_finetune.flow.scales = [1]
+    cfg.online_finetune.depth.enable = True
+    cfg.online_finetune.depth.scales = [0]
+
+    frontend = DeepFrontend(cfg)
+    finetuner = OnlineFinetuner(frontend, cfg)
+    variables = frontend.init_variables(jax.random.PRNGKey(0))
+    K = np.array([[50.0, 0, 48], [0, 50.0, 32], [0, 0, 1]], np.float32)
+    opt_state0 = finetuner.init_state(variables, K, np.linalg.inv(K))
+
+    rng = np.random.RandomState(1)
+    imgs_u8 = jnp.asarray(
+        (rng.rand(4, 64, 96, 3) * 255).astype(np.uint8)
+    )  # 3 pairs
+    poses = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (3, 4, 4))
+
+    # sequential frame-mode updates on the first two pairs
+    seq_vars, seq_opt = variables, opt_state0
+    seq_losses = []
+    for i in range(2):
+        seq_vars, seq_opt, loss = finetuner.update(
+            seq_vars,
+            seq_opt,
+            imgs_u8[i].astype(jnp.float32) / 255.0,
+            imgs_u8[i + 1].astype(jnp.float32) / 255.0,
+            poses[i],
+        )
+        seq_losses.append(float(loss))
+
+    chunk_update = finetuner.make_chunk_update_fn()
+    ck_vars, ck_opt, ck_losses = chunk_update(
+        variables, opt_state0, imgs_u8, poses, jnp.asarray(2, jnp.int32)
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(ck_losses)[:2], np.asarray(seq_losses), rtol=1e-5
+    )
+    assert float(ck_losses[2]) == 0.0, "pair past n_active must be skipped"
+    for net in ("flow", "depth"):
+        for a, b in zip(
+            jax.tree.leaves(ck_vars[net]["params"]),
+            jax.tree.leaves(seq_vars[net]["params"]),
+        ):
+            # the scan body and the standalone update compile to slightly
+            # different fusion orders; identical math, f32 reassociation
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5
+            )
+
+
+def test_scan_execution_finetunes(synthetic_kitti, tmp_path):
+    """tpu.execution: scan with online_finetune.enable runs end-to-end,
+    updates the weights, respects the num_frames budget, and writes the
+    finetuned checkpoint (VERDICT r4 item 6)."""
+    from dfvo_tpu.pipeline import DFVO
+
+    cfg = ConfigLoader().merge_cfg(
+        [os.path.join(REPO, "options/examples/default_configuration.yml")]
+    )
+    cfg.seq = "42"
+    cfg.image.height = 64
+    cfg.image.width = 96
+    cfg.directory.img_seq_dir = str(synthetic_kitti / "odom_data")
+    cfg.directory.gt_pose_dir = str(synthetic_kitti / "gt_poses")
+    cfg.directory.result_dir = str(tmp_path / "result")
+    cfg.visualization.enable = False
+    cfg.tpu.ransac_hypotheses = 32
+    cfg.tpu.execution = "scan"
+    cfg.tpu.scan_chunk = 3
+    cfg.online_finetune.enable = True
+    cfg.online_finetune.save_model = True
+    cfg.online_finetune.num_frames = 4  # cuts off mid-chunk (3 + 1)
+    cfg.online_finetune.flow.enable = True
+    cfg.online_finetune.flow.scales = [1]
+    cfg.online_finetune.depth.enable = True
+    cfg.online_finetune.depth.scales = [0]
+
+    vo = DFVO(cfg)
+    before = [
+        np.asarray(x).copy()
+        for x in jax.tree.leaves(vo.variables["flow"]["params"])
+    ]
+    vo.main(num_frames=7)
+
+    delta = sum(
+        float(np.abs(np.asarray(a) - b).sum())
+        for a, b in zip(
+            jax.tree.leaves(vo.variables["flow"]["params"]), before
+        )
+    )
+    assert delta > 1e-4, "flow weights not updated in scan mode"
+    assert vo.finetune_cnt == 4  # num_frames cutoff respected mid-chunk
+    assert os.path.isdir(tmp_path / "result" / "finetuned_model")
+    poses_txt = tmp_path / "result" / "42.txt"
+    assert poses_txt.exists()
+    vals = np.loadtxt(poses_txt)
+    assert np.isfinite(vals).all()
+
+
 class TestPoseSrc:
     """The three depth-loss pose sources (ref deep_models.py:257-266)."""
 

@@ -291,6 +291,34 @@ class TestEnvGatedVariants:
         var = np.asarray(_grid_sample_patch4(src, coords))
         np.testing.assert_array_equal(base, var)
 
+    @pytest.mark.parametrize("build", ["pre_t", "stack", "xonly"])
+    def test_warp_smallc_build_variants_match_base(self, monkeypatch, build):
+        """DFVO_WARP_BUILD_SMALLC routes only c<=4 dense warps (image/flow
+        tables) to a build variant; must be bit-identical to base."""
+        from dfvo_tpu.ops.warp import _grid_sample_patch4
+
+        src, coords = self._dense_case(c=3)
+        monkeypatch.delenv("DFVO_WARP_BUILD", raising=False)
+        monkeypatch.delenv("DFVO_WARP_BUILD_SMALLC", raising=False)
+        base = np.asarray(_grid_sample_patch4(src, coords))
+        monkeypatch.setenv("DFVO_WARP_BUILD_SMALLC", build)
+        var = np.asarray(_grid_sample_patch4(src, coords))
+        np.testing.assert_array_equal(base, var)
+        # wide warps must NOT be affected by the small-c flag
+        src_w, coords_w = self._dense_case(c=6)
+        np.testing.assert_array_equal(
+            np.asarray(_grid_sample_patch4(src_w, coords_w)),
+            np.asarray(_grid_sample_patch4(src_w, coords_w)),
+        )
+
+    def test_warp_smallc_unknown_value_raises(self, monkeypatch):
+        from dfvo_tpu.ops.warp import _grid_sample_patch4
+
+        src, coords = self._dense_case(seed=9, n=1, h=6, w=6, c=2)
+        monkeypatch.setenv("DFVO_WARP_BUILD_SMALLC", "stck")  # typo'd probe
+        with pytest.raises(ValueError, match="DFVO_WARP_BUILD_SMALLC"):
+            _grid_sample_patch4(src, coords)
+
     def test_warp_src_barrier_matches_base(self, monkeypatch):
         from dfvo_tpu.ops.warp import _grid_sample_patch4
 
@@ -324,6 +352,82 @@ class TestEnvGatedVariants:
         var = np.asarray(mod.apply(params, x))
         assert base.shape == (2, 18, 26, 4)
         np.testing.assert_allclose(base, var, atol=1e-6)
+
+    def test_frame_ids_match_materialized_pairing(self):
+        """grid_sample(unique_src, coords, frame_ids=ids) must be bitwise
+        identical to grid_sample(src[ids], coords) — the unique-frame
+        warp-table path (r5) gathers from a table over M unique frames
+        instead of duplicating target frames into the paired batch."""
+        from dfvo_tpu.ops.warp import (
+            _grid_sample_gather4,
+            _grid_sample_patch4,
+            grid_sample,
+        )
+
+        rng = np.random.RandomState(21)
+        m, h, w, c = 4, 12, 17, 6
+        src = jnp.array(rng.randn(m, h, w, c).astype(np.float32))
+        ids = np.concatenate([np.arange(1, m), np.arange(0, m - 1)])
+        b = len(ids)
+        coords = jnp.array(
+            rng.uniform(-2, max(h, w) + 2, size=(b, h, w, 2)).astype(
+                np.float32
+            )
+        )
+        paired = src[jnp.array(ids)]
+        ids_j = jnp.array(ids, dtype=jnp.int32)
+        for fn in (_grid_sample_patch4, _grid_sample_gather4):
+            np.testing.assert_array_equal(
+                np.asarray(fn(paired, coords)),
+                np.asarray(fn(src, coords, frame_ids=ids_j)),
+                err_msg=fn.__name__,
+            )
+        np.testing.assert_array_equal(
+            np.asarray(grid_sample(paired, coords)),
+            np.asarray(grid_sample(src, coords, frame_ids=ids_j)),
+        )
+
+    def test_unique_tables_match_materialized(self, monkeypatch):
+        """LiteFlowNet consecutive mode with DFVO_UNIQUE_TABLES=1 (warp
+        tables built once over unique frames) must match the materialized
+        pairing bit-for-bit."""
+        import jax
+
+        from dfvo_tpu.models import LiteFlowNet
+
+        rng = np.random.RandomState(13)
+        imgs = jnp.array(rng.rand(4, 64, 96, 3).astype(np.float32))
+        model = LiteFlowNet(use_pallas=False)
+        monkeypatch.setenv("DFVO_UNIQUE_TABLES", "0")
+        variables = model.init(
+            jax.random.PRNGKey(0), imgs, imgs, pair_mode="consecutive"
+        )
+
+        def run():
+            return jax.jit(
+                lambda v, x: model.apply(v, x, x, pair_mode="consecutive")
+            )(variables, imgs)
+
+        base = jax.tree_util.tree_map(np.asarray, run())
+        monkeypatch.setenv("DFVO_UNIQUE_TABLES", "1")
+        uniq = jax.tree_util.tree_map(np.asarray, run())
+        for lvl in base:
+            np.testing.assert_array_equal(
+                base[lvl], uniq[lvl], err_msg=f"flow level {lvl}"
+            )
+
+    def test_unique_tables_unknown_value_raises(self, monkeypatch):
+        import jax
+
+        from dfvo_tpu.models import LiteFlowNet
+
+        imgs = jnp.zeros((3, 32, 32, 3), jnp.float32)
+        monkeypatch.setenv("DFVO_UNIQUE_TABLES", "yes")  # typo'd probe
+        model = LiteFlowNet(use_pallas=False)
+        with pytest.raises(ValueError, match="DFVO_UNIQUE_TABLES"):
+            model.init(
+                jax.random.PRNGKey(0), imgs, imgs, pair_mode="consecutive"
+            )
 
     def test_trunk_barrier_is_identity(self, monkeypatch):
         from dfvo_tpu.models.liteflownet import _trunk_barrier

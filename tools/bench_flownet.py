@@ -53,6 +53,7 @@ VARIANTS = {
     "src_barrier": {"DFVO_WARP_SRC_BARRIER": "1"},
     "warp_stack": {"DFVO_WARP_BUILD": "stack"},
     "warp_xonly": {"DFVO_WARP_BUILD": "xonly"},
+    "no_unique": {"DFVO_UNIQUE_TABLES": "0"},
 }
 _ALL_FLAGS = sorted({k for v in VARIANTS.values() for k in v})
 

@@ -1,0 +1,204 @@
+"""Long-drive segment-protocol parity: reference pipeline vs this repo.
+
+VERDICT r4 item 4: the system parity tests compare 12-20 frame clips by
+ATE, below the KITTI protocol's 100 m minimum segment, so t_err/r_err had
+never been computed end-to-end on a trajectory this build produced. This
+script renders a LONG (>=500 m, with turns) geometrically self-consistent
+oracle drive (dfvo_tpu/synth), tracks it through BOTH systems —
+
+  * the actual reference pipeline (/root/reference libs/dfvo.py:347-425,
+    oracle-stubbed inference exactly as tests/test_reference_e2e.py), and
+  * this repo's tracking stack (same oracle injection point) —
+
+and scores BOTH trajectories with BOTH evaluators (this repo's
+dfvo_tpu/evaluation/kitti_odometry.py and the reference's
+tools/evaluation/odometry/kitti_odometry.py:88,191-245) at --align 6dof.
+
+Asserts (exits non-zero on violation):
+  * every evaluation produced non-zero segment counts (the drive is long
+    enough for the 100-800 m protocol), and
+  * ours-vs-reference t_err / r_err agree within 5 % relative (or within
+    a small absolute floor — on oracle data both systems track nearly
+    perfectly, where the relative gap of two tiny numbers is noise).
+
+Run:  python tools/longdrive_parity.py [--frames 1001] [--out DIR]
+Takes ~10-20 min on one CPU core (dominated by the reference's per-frame
+cv2 RANSAC loop). Results are printed as a table and saved to
+<out>/summary.txt.
+"""
+
+import argparse
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=1001)
+    ap.add_argument("--speed", type=float, default=1.0)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default="/tmp/longdrive_parity")
+    ap.add_argument(
+        "--rel-tol", type=float, default=0.05,
+        help="max relative t_err/r_err gap between systems",
+    )
+    ap.add_argument(
+        "--abs-floor", type=float, default=0.05,
+        help="absolute gap below which the relative check is waived "
+        "(t_err %% / r_err deg-per-100m units)",
+    )
+    ap.add_argument(
+        "--min-length", type=float, default=500.0,
+        help="required drive length in m (lower only for smoke tests)",
+    )
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    # the shared oracle + system runners (tests double as the harness;
+    # they stub only inference — both tracking stacks run for real)
+    sys.path.insert(0, os.path.join(REPO))
+    from tests import test_reference_e2e as harness
+    from dfvo_tpu.synth import chain_motions, make_oracle_sequence
+
+    os.makedirs(args.out, exist_ok=True)
+    h, w, K = harness.H, harness.W, harness.K
+
+    print(f"[1/5] rendering {args.frames}-frame oracle drive ({h}x{w})...",
+          flush=True)
+    depths, flows, motions = make_oracle_sequence(
+        h, w, K, args.frames, seed=args.seed, speed=args.speed
+    )
+    gt = chain_motions(motions)
+    drive_len = sum(
+        float(np.linalg.norm(m[:3, 3])) for m in motions
+    )
+    print(f"      drive length {drive_len:.1f} m over {args.frames} frames")
+    if drive_len < args.min_length:
+        print(
+            f"ERROR: drive shorter than {args.min_length} m; raise "
+            "--frames/--speed"
+        )
+        return 2
+
+    print("[2/5] running the REFERENCE pipeline (oracle-stubbed "
+          "inference)...", flush=True)
+    import pathlib
+
+    ref_traj = harness.run_reference(
+        depths, flows, pathlib.Path(args.out), n_frames=args.frames
+    )
+
+    print("[3/5] running THIS repo's tracking stack...", flush=True)
+    our_traj, modes = harness.run_ours(
+        depths, flows, n_frames=args.frames
+    )
+    mode_counts = dict(
+        zip(*[list(v) for v in np.unique(modes, return_counts=True)])
+    )
+    print(f"      tracking modes used: {mode_counts}")
+
+    print("[4/5] scoring with BOTH evaluators at align=6dof...", flush=True)
+    from dfvo_tpu.evaluation import KittiEvalOdom as OurEval
+
+    sys.path.insert(0, "/root/reference")
+    from tools.evaluation.odometry.kitti_odometry import (  # noqa: E501
+        KittiEvalOdom as RefEval,
+    )
+
+    def score_ours_tool(traj):
+        gt_d = {i: np.asarray(p) for i, p in enumerate(gt)}
+        pr_d = {i: np.asarray(p) for i, p in enumerate(traj)}
+        e = OurEval()
+        r = e.eval_seq(gt_d, pr_d, alignment="6dof")
+        return {
+            "t_err": r["t_err_percent"],
+            "r_err": r["r_err_deg_per_100m"],
+            "ate": r["ate"],
+            "segments": len(r["seq_err"]),
+        }
+
+    def score_ref_tool(traj):
+        gt_d = {i: np.asarray(p) for i, p in enumerate(gt)}
+        pr_d = {i: np.asarray(p) for i, p in enumerate(traj)}
+        e = RefEval()
+        # mirror eval_seq: 6dof umeyama alignment then the segment protocol
+        from dfvo_tpu.evaluation import umeyama_alignment
+
+        xyz_result = np.asarray([pr_d[i][:3, 3] for i in sorted(pr_d)]).T
+        xyz_gt = np.asarray([gt_d[i][:3, 3] for i in sorted(gt_d)]).T
+        r, t, scale = umeyama_alignment(xyz_result, xyz_gt, False)
+        align_transformation = np.eye(4)
+        align_transformation[:3:, :3] = r
+        align_transformation[:3, 3] = t
+        pr_aligned = {}
+        for cnt in pr_d:
+            p = pr_d[cnt].copy()
+            p[:3, 3] *= scale
+            pr_aligned[cnt] = align_transformation @ p
+        seq_err = e.calc_sequence_errors(gt_d, pr_aligned)
+        t_err, r_err = e.compute_overall_err(seq_err)
+        ate = e.compute_ATE(gt_d, pr_aligned)
+        return {
+            "t_err": t_err * 100,
+            "r_err": r_err / np.pi * 180 * 100,
+            "ate": ate,
+            "segments": len(seq_err),
+        }
+
+    rows = {}
+    for sysname, traj in (("reference", ref_traj), ("ours", our_traj)):
+        rows[(sysname, "our_tool")] = score_ours_tool(traj)
+        rows[(sysname, "ref_tool")] = score_ref_tool(traj)
+
+    lines = [
+        f"long-drive parity: {args.frames} frames, {drive_len:.1f} m, "
+        f"seed {args.seed}",
+        f"{'system':<11}{'scorer':<10}{'t_err %':>9}{'r_err d/100m':>14}"
+        f"{'ATE m':>9}{'segments':>10}",
+    ]
+    for (sysname, tool), m in rows.items():
+        lines.append(
+            f"{sysname:<11}{tool:<10}{m['t_err']:>9.3f}{m['r_err']:>14.3f}"
+            f"{m['ate']:>9.3f}{m['segments']:>10d}"
+        )
+    report = "\n".join(lines)
+    print(report, flush=True)
+    with open(os.path.join(args.out, "summary.txt"), "w") as f:
+        f.write(report + "\n")
+
+    print("[5/5] checking parity bounds...", flush=True)
+    failures = []
+    for (sysname, tool), m in rows.items():
+        if m["segments"] == 0:
+            failures.append(f"{sysname}/{tool}: zero segments")
+    for tool in ("our_tool", "ref_tool"):
+        a, b = rows[("ours", tool)], rows[("reference", tool)]
+        for key, unit in (("t_err", "%"), ("r_err", "deg/100m")):
+            gap = abs(a[key] - b[key])
+            rel = gap / max(abs(b[key]), 1e-12)
+            if gap > args.abs_floor and rel > args.rel_tol:
+                failures.append(
+                    f"{tool} {key}: ours {a[key]:.4f} vs ref {b[key]:.4f} "
+                    f"{unit} (gap {gap:.4f}, rel {rel:.1%})"
+                )
+    if failures:
+        print("PARITY FAILURES:")
+        for f_ in failures:
+            print("  " + f_)
+        return 1
+    print("PARITY OK: both systems agree within "
+          f"{args.rel_tol:.0%} rel / {args.abs_floor} abs on t_err & r_err, "
+          "non-zero segment counts everywhere")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
