@@ -106,9 +106,15 @@ def make_chunk_step(frontend, tcfg):
                 # fallback only when some frame in the chunk needs it —
                 # all-E-success chunks (the common case on real sequences)
                 # skip the PnP computation entirely
+                # the scale-jump guard needs the previous frame's scale —
+                # unknown under vmap (dummy prev_scale) — so it is applied
+                # exactly in the fix-up scan below instead
                 tcfg_v = (
-                    tcfg if tcfg.force_e_path
-                    else dataclasses.replace(tcfg, defer_pnp=True)
+                    dataclasses.replace(tcfg, scale_jump_guard=0.0)
+                    if tcfg.force_e_path
+                    else dataclasses.replace(
+                        tcfg, defer_pnp=True, scale_jump_guard=0.0
+                    )
                 )
 
                 def one(rng, flow_fwd, flow_diff, depth_cur, depth_ref):
@@ -134,6 +140,46 @@ def make_chunk_step(frontend, tcfg):
                     rngs, fo["flow_fwd"], fo["flow_diff"], fo["depths"],
                     depth_refs,
                 )
+
+                if tcfg.scale_jump_guard > 0:
+                    # sequential spike detection (tracking.py guard,
+                    # identical carry rule: a spiked/failed frame does not
+                    # update the running scale); a spiked E frame loses its
+                    # scale and falls to the same mode frame execution
+                    # would pick (PnP in hybrid, const-motion otherwise)
+                    from .tracking import TRACK_MODE_ESSENTIAL, TRACK_MODE_PNP
+
+                    g = jnp.float32(tcfg.scale_jump_guard)
+
+                    def spike_fix(ps, s):
+                        spike = (ps > 0) & (s > 0) & (
+                            (s > ps * g) | (s * g < ps)
+                        )
+                        eff = jnp.where(spike, -1.0, s)
+                        return jnp.where(eff > 0, eff, ps), (spike, eff)
+
+                    _, (spikes, eff_scale) = jax.lax.scan(
+                        spike_fix, prev_scale0, tr["scale"]
+                    )
+                    hit = spikes & (tr["mode"] == TRACK_MODE_ESSENTIAL)
+                    fb_mode = (
+                        TRACK_MODE_CONST if tcfg.force_e_path
+                        else TRACK_MODE_PNP
+                    )
+                    # spiked frames' poses need no explicit substitution
+                    # here: const-mode frames are replaced with prev_pose
+                    # by the fix-up scan (keyed on mode), and PnP-mode
+                    # frames by the batched fallback (keyed on need_pnp)
+                    tr = dict(
+                        tr,
+                        scale=eff_scale,
+                        mode=jnp.where(hit, fb_mode, tr["mode"]),
+                        need_pnp=(
+                            tr["need_pnp"]
+                            if tcfg.force_e_path
+                            else tr["need_pnp"] | hit
+                        ),
+                    )
 
                 if not tcfg.force_e_path:
                     need = tr["need_pnp"]

@@ -91,6 +91,16 @@ class TrackingConfig:
     scale_min_samples: int = 3
     scale_iterative_kp: bool = False
     scale_iter_score_method: str = "rigid_flow"
+    # scale spike guard (TPU-native addition, tpu.scale_jump_guard; 0 = off):
+    # reject a scale that jumps more than this factor from the previous
+    # frame's and let the PnP fallback handle the frame. The depth-ratio
+    # RANSAC inherits a failure mode from the reference (E_tracker.py:614-641)
+    # on frames where most of the depth map disagrees with the flow (massive
+    # occlusion / content turnover): the outlier ratios form the majority
+    # consensus and the scale comes out 10-15x wrong (a physically impossible
+    # per-frame speed change), while PnP's reprojection test rejects those
+    # same pixels and stays metric. tools/longdrive_parity.py pairs 510/601.
+    scale_jump_guard: float = 5.0
     # pnp
     pnp_reproj_thre: float = 1.0
     pnp_repeat: int = 5
@@ -170,10 +180,21 @@ class TrackingConfig:
             optical_flow_thre=kp_cfg.rigid_flow_kp.optical_flow_thre,
             scale_method=cfg.scale_recovery.method,
             scale_ransac_thre=cfg.scale_recovery.ransac.thre,
-            scale_max_trials=cfg.scale_recovery.ransac.max_trials,
+            # batched trials are ~free on TPU: oversample the reference's
+            # max_trials (100) so knife-edge frames whose true-scale
+            # consensus is a ~20% minority mode still converge (the
+            # reference's sklearn loop misses those with ~1/3 odds and
+            # produces 10-15x translation spikes; tools/longdrive_parity.py)
+            scale_max_trials=max(
+                int(cfg.scale_recovery.ransac.max_trials),
+                int(cfg.tpu.get("scale_ransac_hypotheses", 1024) or 0),
+            ),
             scale_min_samples=cfg.scale_recovery.ransac.min_samples,
             scale_iterative_kp=bool(cfg.scale_recovery.iterative_kp.enable),
             scale_iter_score_method=cfg.scale_recovery.iterative_kp.score_method,
+            scale_jump_guard=float(
+                cfg.tpu.get("scale_jump_guard", 5.0) or 0.0
+            ),
             pnp_reproj_thre=cfg.pnp_tracker.ransac.reproj_thre,
             pnp_repeat=cfg.pnp_tracker.ransac.repeat,
             pnp_iter=cfg.pnp_tracker.ransac.iter,
@@ -545,6 +566,17 @@ def tracking_step(
                 T_e,
             )
             scale = jnp.where(e_out["valid"], scale_ref, -1.0)
+
+    if tcfg.scale_jump_guard > 0:
+        # physically impossible per-frame speed jumps mean the depth-ratio
+        # consensus was captured by outliers (see TrackingConfig docstring);
+        # fail the scale so the robust PnP fallback takes the frame
+        ps = jnp.asarray(prev_scale, jnp.float32)
+        g = jnp.float32(tcfg.scale_jump_guard)
+        spike = (ps > 0) & (scale > 0) & (
+            (scale > ps * g) | (scale * g < ps)
+        )
+        scale = jnp.where(spike, -1.0, scale)
 
     e_success = e_out["valid"] & (scale != -1.0)
     pose_e = T_e.at[:3, 3].multiply(scale)

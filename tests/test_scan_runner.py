@@ -144,6 +144,98 @@ def tiny_kitti(tmp_path_factory):
 
 
 @pytest.mark.xdist_group("scan64")
+def test_scan_scale_jump_guard_matches_sequential():
+    """A scale spike mid-chunk must be guarded identically by the vmapped
+    scan path (guard applied in the fix-up scan with the true running
+    scale) and the sequential per-frame path (guard applied in-step)."""
+    import jax.numpy as jnp
+
+    from dfvo_tpu.pipeline.tracking import TRACK_MODE_PNP, tracking_step
+    from dfvo_tpu.synth import make_oracle_sequence
+
+    h, w = 64, 96
+    K = np.array(
+        [[55.0, 0, 48.0], [0, 55.0, 32.0], [0, 0, 1.0]], np.float32
+    )
+    K_inv = np.linalg.inv(K).astype(np.float32)
+
+    cfg = ConfigLoader().merge_cfg(
+        [os.path.join(REPO, "options/examples/default_configuration.yml")]
+    )
+    cfg.image.height = h
+    cfg.image.width = w
+    cfg.tpu.ransac_hypotheses = 32
+    cfg.tpu.scan_chunk = 3
+    cfg.tpu.dtype = "float32"
+
+    runner = ScanRunner(cfg)
+    variables = runner.frontend.prepare_variables(
+        runner.frontend.init_variables(jax.random.PRNGKey(0))
+    )
+
+    # 3-pair oracle chain (seed/speed chosen so pairs 1-2 track via E at
+    # this size); pair 2's current-view depth is scaled 30x so its
+    # depth-ratio scale collapses ~30x below the running scale
+    depths, flows, _ = make_oracle_sequence(h, w, K, 4, seed=0, speed=2.0)
+    depths = [np.asarray(d) for d in depths]
+    depths[3] = depths[3] * 30.0
+    oracle = {
+        "depths": jnp.asarray(np.stack(depths[1:])),
+        "flow_fwd": jnp.asarray(np.stack(flows)),
+        "flow_diff": jnp.full((3, h, w), 0.01, jnp.float32),
+    }
+
+    # sequential reference with the true running scale
+    base = jax.random.PRNGKey(0)
+    prev_motion = jnp.eye(4, dtype=jnp.float32)
+    prev_scale = jnp.asarray(1.0, jnp.float32)
+    want_poses, want_modes = [], []
+    for i in range(3):
+        tr = tracking_step(
+            jax.random.fold_in(base, i + 1),
+            oracle["flow_fwd"][i],
+            oracle["flow_diff"][i],
+            oracle["depths"][i],
+            jnp.asarray(depths[i]),
+            prev_motion,
+            jnp.asarray(K),
+            jnp.asarray(K_inv),
+            runner.tcfg,
+            prev_scale=prev_scale,
+        )
+        prev_motion = tr["pose"]
+        prev_scale = jnp.where(tr["scale"] > 0, tr["scale"], prev_scale)
+        want_poses.append(np.asarray(tr["pose"]))
+        want_modes.append(int(tr["mode"]))
+    from dfvo_tpu.pipeline.tracking import TRACK_MODE_ESSENTIAL
+
+    assert want_modes[1] == TRACK_MODE_ESSENTIAL, (
+        "setup: pair 1 must track via E for the spike scenario to bite"
+    )
+    assert want_modes[2] == TRACK_MODE_PNP, "spike frame must be guarded"
+
+    imgs = np.zeros((3, h, w, 3), np.uint8)
+    carry = (
+        jnp.zeros((h, w, 3), jnp.uint8),
+        jnp.asarray(depths[0]),
+        jnp.eye(4, dtype=jnp.float32),
+        jnp.asarray(1.0, jnp.float32),
+    )
+    rngs = jax.vmap(lambda i: jax.random.fold_in(base, i))(
+        jnp.arange(1, 4)
+    )
+    poses, modes, _ = runner._chunk_step(
+        variables, jnp.asarray(imgs), carry, rngs,
+        jnp.asarray(K), jnp.asarray(K_inv), oracle=oracle,
+    )
+    assert np.asarray(modes).tolist() == want_modes
+    np.testing.assert_allclose(
+        np.asarray(poses), np.stack(want_poses), atol=1e-5,
+        err_msg="scan guard diverges from sequential guard",
+    )
+
+
+@pytest.mark.xdist_group("scan64")
 def test_cli_scan_execution_matches_frame_execution(tiny_kitti, tmp_path):
     """``tpu.execution: scan`` through the user-facing pipeline writes the
     same trajectory as the default per-frame loop (VERDICT r3 weak #2: the

@@ -59,6 +59,50 @@ class TestIterativeScale:
         assert abs(np.linalg.norm(T[:3, 3]) - 1.5) / 1.5 < 0.05
 
 
+class TestScaleJumpGuard:
+    """tpu.scale_jump_guard (TPU-native addition): a scale that jumps more
+    than the guard factor from the previous frame's is treated as a scale
+    failure, routing the frame to the PnP fallback instead of committing a
+    physically impossible translation (the depth-ratio RANSAC's massive-
+    outlier failure mode, see TrackingConfig and tools/longdrive_parity.py
+    pairs 510/601)."""
+
+    def _case(self):
+        rng = np.random.RandomState(3)
+        depth_ref = smooth_depth(rng)
+        T_cur2ref, T_ref2cur = gt_motion(scale=1.5)
+        flow, depth_cur = synthesize(depth_ref, T_ref2cur)
+        flow_diff = np.zeros((H, W), np.float32)
+        return flow, flow_diff, depth_cur, depth_ref, T_cur2ref
+
+    def test_spike_routes_to_pnp(self):
+        from dfvo_tpu.pipeline.tracking import TRACK_MODE_PNP
+
+        flow, flow_diff, depth_cur, depth_ref, T_gt = self._case()
+        # prev frame ran at scale 0.1 -> a 1.5 estimate is a 15x jump
+        out = run(TCFG, flow, flow_diff, depth_cur, depth_ref,
+                  prev_scale=0.1)
+        assert int(out["mode"]) == TRACK_MODE_PNP
+        assert float(out["scale"]) == -1.0
+        # the PnP fallback still recovers the metric pose from depth
+        T = np.asarray(out["pose"], np.float64)
+        assert np.linalg.norm(T[:3, 3] - T_gt[:3, 3]) < 0.1
+
+    def test_normal_scale_unaffected(self):
+        flow, flow_diff, depth_cur, depth_ref, T_gt = self._case()
+        out = run(TCFG, flow, flow_diff, depth_cur, depth_ref,
+                  prev_scale=1.0)
+        assert int(out["mode"]) == TRACK_MODE_ESSENTIAL
+        assert abs(float(out["scale"]) - 1.5) / 1.5 < 0.05
+
+    def test_guard_disable(self):
+        flow, flow_diff, depth_cur, depth_ref, T_gt = self._case()
+        tcfg = dataclasses.replace(TCFG, scale_jump_guard=0.0)
+        out = run(tcfg, flow, flow_diff, depth_cur, depth_ref,
+                  prev_scale=0.1)
+        assert int(out["mode"]) == TRACK_MODE_ESSENTIAL
+
+
 class TestIterativeKP:
     def test_refinement_keeps_accuracy(self):
         rng = np.random.RandomState(1)

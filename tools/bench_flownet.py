@@ -54,6 +54,9 @@ VARIANTS = {
     "warp_stack": {"DFVO_WARP_BUILD": "stack"},
     "warp_xonly": {"DFVO_WARP_BUILD": "xonly"},
     "no_unique": {"DFVO_UNIQUE_TABLES": "0"},
+    "img_stack": {"DFVO_WARP_BUILD_SMALLC": "stack"},
+    "img_pre_t": {"DFVO_WARP_BUILD_SMALLC": "pre_t"},
+    "img_xonly": {"DFVO_WARP_BUILD_SMALLC": "xonly"},
 }
 _ALL_FLAGS = sorted({k for v in VARIANTS.values() for k in v})
 

