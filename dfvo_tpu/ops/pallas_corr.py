@@ -193,7 +193,15 @@ def correlation_pallas(f1, f2, max_disp=3, stride=1):
     if whole <= 6 * 1024 * 1024:
         return _pallas_corr_stride1(f1, f2, max_disp)
     band = _rowchunk_band(h, w, c, k_total, itemsize, d)
-    if band is None:
+    # Mosaic cannot DMA a (..., c) block out of a lane-padded memref when
+    # c % 128 != 0 ("Slice shape along dimension 3 must be aligned to
+    # tiling (128)") — the same constraint the headconv kernel works
+    # around (ops/headconv.py). Hit in practice by the f32 finetune
+    # forward at LiteFlowNet L2-sub/L3 (c=64, too big for the whole-item
+    # kernel in f32); interpret mode does not validate this, so the gate
+    # is shape-based, not try/except (compile errors fire at XLA compile
+    # time, after tracing).
+    if band is None or c % 128 != 0:
         from .correlation import correlation_xla
 
         return correlation_xla(f1, f2, max_disp=max_disp, stride=1)

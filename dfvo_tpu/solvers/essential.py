@@ -119,8 +119,16 @@ def _essential_hypotheses_soa(samp, iters=6):
 
 
 def _sampson_inlier_mask_soa(F, p1, p2, thr2, valid_mask):
-    """Inlier masks of all hypotheses at once from SoA fundamental-matrix
-    components (same residual as sampson_error, broadcast [M x N])."""
+    """Inlier masks + truncated residual sums of all hypotheses at once
+    from SoA fundamental-matrix components (same residual as
+    sampson_error, broadcast [M x N]).
+
+    Returns (mask [M x N] bool, rsum [M]) where rsum is the MSAC-style
+    truncated residual sum(min(err, thr2)) over valid points — used to
+    break inlier-count ties (on clean data counts saturate at N for many
+    hypotheses and count-argmax picks an arbitrary one; the residual
+    tiebreak picks the geometrically best, cutting the per-frame rotation
+    noise tail measured by tools/longdrive_parity.py)."""
     x1, y1, z1 = p1[None, :, 0], p1[None, :, 1], p1[None, :, 2]
     x2, y2, z2 = p2[None, :, 0], p2[None, :, 1], p2[None, :, 2]
     f = [[F[i][j][:, None] for j in range(3)] for i in range(3)]
@@ -132,7 +140,11 @@ def _sampson_inlier_mask_soa(F, p1, p2, thr2, valid_mask):
     num = (x2 * fx0 + y2 * fx1 + z2 * fx2) ** 2
     den = fx0**2 + fx1**2 + ftx0**2 + ftx1**2
     err = num / jnp.maximum(den, 1e-12)
-    return (err < thr2) & valid_mask[None, :]
+    mask = (err < thr2) & valid_mask[None, :]
+    rsum = jnp.sum(
+        jnp.minimum(err, thr2) * valid_mask[None, :], axis=1
+    )
+    return mask, rsum
 
 
 @highp
@@ -352,9 +364,20 @@ def find_essential_ransac(
     p2 = jnp.concatenate([kp2, jnp.ones_like(kp2[:, :1])], axis=-1)
     thr2 = threshold**2
 
+    # normalizer making the truncated-residual tiebreak strictly weaker
+    # than one inlier: rsum/(thr2*(n+1)) < 1 always
+    n_valid = jnp.sum(valid_mask)
+    r_norm = thr2 * (n_valid.astype(jnp.float32) + 1.0)
+
     def score(E):
+        """(inlier mask, combined float score) of one model: inlier count
+        with an MSAC truncated-residual tiebreak (see
+        _sampson_inlier_mask_soa)."""
         F = K_inv.T @ E @ K_inv
-        return (sampson_error(F, p1, p2) < thr2) & valid_mask
+        err = sampson_error(F, p1, p2)
+        mask = (err < thr2) & valid_mask
+        rsum = jnp.sum(jnp.minimum(err, thr2) * valid_mask)
+        return mask, jnp.sum(mask).astype(jnp.float32) - rsum / r_norm
 
     samp = sample_points(
         rng, jnp.concatenate([x1, x2], axis=-1), valid_mask,
@@ -381,9 +404,10 @@ def find_essential_ransac(
         ]
         for a in range(3)
     ]
-    inliers = _sampson_inlier_mask_soa(Fc, p1, p2, thr2, valid_mask)
+    inliers, rsums = _sampson_inlier_mask_soa(Fc, p1, p2, thr2, valid_mask)
     counts = jnp.sum(inliers, axis=1)
-    _, top = jax.lax.top_k(counts, num_starts)
+    fscores = counts.astype(jnp.float32) - rsums / r_norm
+    _, top = jax.lax.top_k(fscores, num_starts)
 
     def gather_Es(idx):
         # assemble [len(idx) x 3 x 3] matrices from the SoA components at
@@ -393,16 +417,19 @@ def find_essential_ransac(
             idx.shape + (3, 3)
         )
 
-    def polish_one(E0, cnt0, cur):
-        best_E, best_cnt, best_inl = E0, cnt0, cur
+    def polish_one(E0, fs0, cur):
+        # guards compare the combined (count, residual-tiebreak) score, so
+        # a refit that ties on inliers but is geometrically worse can no
+        # longer replace the best model (>= kept: an equal-score later
+        # model is interchangeable)
+        best_E, best_fs, best_inl = E0, fs0, cur
         # guarded DLT refit rounds
         for _ in range(2):
             E = essential_from_sample(x1, x2, weights=cur.astype(x1.dtype))
-            cur = score(E)
-            cnt = jnp.sum(cur)
-            better = cnt >= best_cnt
+            cur, fs = score(E)
+            better = fs >= best_fs
             best_E = jnp.where(better, E, best_E)
-            best_cnt = jnp.where(better, cnt, best_cnt)
+            best_fs = jnp.where(better, fs, best_fs)
             best_inl = jnp.where(better, cur, best_inl)
         # recover pose from the best DLT model, then guarded GN polish
         R, t, _ = recover_pose(best_E, kp1, kp2, K_inv, best_inl)
@@ -411,26 +438,27 @@ def find_essential_ransac(
         for _ in range(2):
             R, t = _gn_polish_pose(R, t, x1, x2, cur.astype(x1.dtype))
             E = skew(t) @ R
-            cur = score(E)
-            cnt = jnp.sum(cur)
-            better = cnt >= best_cnt
+            cur, fs = score(E)
+            better = fs >= best_fs
             best_R = jnp.where(better, R, best_R)
             best_t = jnp.where(better, t, best_t)
-            best_cnt = jnp.where(better, cnt, best_cnt)
+            best_fs = jnp.where(better, fs, best_fs)
             best_inl = jnp.where(better, cur, best_inl)
-        return best_R, best_t, best_cnt, best_inl
+        return best_R, best_t, best_fs, best_inl
 
-    Rs, ts, cnts, inls = jax.vmap(polish_one)(
-        gather_Es(top), counts[top], inliers[top]
+    Rs, ts, fss, inls = jax.vmap(polish_one)(
+        gather_Es(top), fscores[top], inliers[top]
     )
-    j = jnp.argmax(cnts)
+    cnts = jnp.sum(inls, axis=1)
+    j = jnp.argmax(fss)
     R, t, inl = Rs[j], ts[j], inls[j]
     E = skew(t) @ R
     cheir = cheirality_count(R, t, x1, x2, valid_mask)
 
-    # per-slice unpolished bests for the tracker's validity votes
-    slice_counts = counts.reshape(vote_slices, -1)
-    slice_best = jnp.argmax(slice_counts, axis=1) + jnp.arange(
+    # per-slice unpolished bests for the tracker's validity votes (same
+    # residual tiebreak)
+    slice_scores = fscores.reshape(vote_slices, -1)
+    slice_best = jnp.argmax(slice_scores, axis=1) + jnp.arange(
         vote_slices
     ) * (num_hypotheses // vote_slices)
     return {

@@ -369,9 +369,22 @@ def solve_pnp_ransac(
     # DLT lane in structure-of-arrays form (hypotheses on lanes — the
     # vmapped 12x12 nullspace was the PnP fallback's hot spot)
     Rd, td = _pnp_dlt_hypotheses_soa(samp, iters=6)
+    thr2 = reproj_threshold**2
+    # MSAC truncated-residual tiebreak (same rationale as
+    # essential.find_essential_ransac): on clean data inlier counts
+    # saturate and count-argmax picks an arbitrary tied model; the
+    # residual term (< 1 inlier by construction) picks the best one
+    r_norm = thr2 * (jnp.sum(valid_mask).astype(jnp.float32) + 1.0)
+
+    def fscore(errs, inl):
+        rsum = jnp.sum(
+            jnp.minimum(errs, thr2) * valid_mask[None, :], axis=1
+        )
+        return jnp.sum(inl, axis=1).astype(jnp.float32) - rsum / r_norm
+
     errs_d = _reproj_err_sq_soa(Rd, td, X, x_pix, K)
-    inliers_d = (errs_d < reproj_threshold**2) & valid_mask[None, :]
-    counts_d = jnp.sum(inliers_d, axis=1)
+    inliers_d = (errs_d < thr2) & valid_mask[None, :]
+    scores_d = fscore(errs_d, inliers_d)
 
     Rs_p, ts_p = jax.vmap(pnp_from_sample_planar)(Xs, xs)
     Rs_3, ts_3, ok_3 = jax.vmap(
@@ -389,14 +402,14 @@ def solve_pnp_ransac(
     errs_pp = jax.vmap(
         lambda R, t: _reproj_err_sq(R, t, X, x_pix, K)
     )(Rs_pp, ts_pp)
-    inliers_pp = (errs_pp < reproj_threshold**2) & valid_mask[None, :]
-    counts_pp = jnp.where(cand_ok, jnp.sum(inliers_pp, axis=1), -1)
+    inliers_pp = (errs_pp < thr2) & valid_mask[None, :]
+    scores_pp = jnp.where(cand_ok, fscore(errs_pp, inliers_pp), -1.0)
 
-    counts = jnp.concatenate([counts_d, counts_pp], axis=0)
-    best = jnp.argmax(counts)
+    scores = jnp.concatenate([scores_d, scores_pp], axis=0)
+    best = jnp.argmax(scores)
     is_d = best < num_hypotheses
     idx_d = jnp.minimum(best, num_hypotheses - 1)
-    idx_pp = jnp.clip(best - num_hypotheses, 0, counts_pp.shape[0] - 1)
+    idx_pp = jnp.clip(best - num_hypotheses, 0, scores_pp.shape[0] - 1)
     R_d_best = jnp.stack(
         [Rd[r][s][idx_d] for r in range(3) for s in range(3)]
     ).reshape(3, 3)
@@ -408,14 +421,17 @@ def solve_pnp_ransac(
     R1, t1 = _gauss_newton_refine(R0, t0, X, x_pix, K, w, iters=refine_iters)
 
     refined_err = _reproj_err_sq(R1, t1, X, x_pix, K)
-    refined_inl = (refined_err < reproj_threshold**2) & valid_mask
+    refined_inl = (refined_err < thr2) & valid_mask
     refined_cnt = jnp.sum(refined_inl)
+    refined_fs = refined_cnt.astype(jnp.float32) - jnp.sum(
+        jnp.minimum(refined_err, thr2) * valid_mask
+    ) / r_norm
 
-    use_ref = refined_cnt >= counts[best]
+    use_ref = refined_fs >= scores[best]
     R_out = jnp.where(use_ref, R1, R0)
     t_out = jnp.where(use_ref, t1, t0)
     inl_out = jnp.where(use_ref, refined_inl, inl_best)
-    cnt_out = jnp.where(use_ref, refined_cnt, counts[best])
+    cnt_out = jnp.where(use_ref, refined_cnt, jnp.sum(inl_best))
     return {
         "R": R_out,
         "t": t_out,
