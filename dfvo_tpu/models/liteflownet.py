@@ -97,6 +97,48 @@ class _DepthwiseDeconv2x(nn.Module):
 
         if os.environ.get("DFVO_DECONV_EW", "0") != "0":
             return _deconv2x_elementwise(x, kernel)
+        padc = os.environ.get("DFVO_DECONV_PAD", "0")
+        if padc not in ("0", "8", "16"):
+            raise ValueError(f"DFVO_DECONV_PAD={padc!r} not in 0|8|16")
+        pc = int(padc)
+        if pc > self.channels:
+            # Probe variant (r5): pad the depthwise channel count with
+            # runtime zero channels so XLA's layout assignment sees a wider
+            # deconv and stops anchoring batch-in-lanes {0,3,2,1} into the
+            # neighbouring trunk convs (same rationale as DFVO_HEAD_PAD in
+            # ops/headconv.py). Barriers block the simplifier from folding
+            # the pads away. Bit-identical output.
+            xz = lax.optimization_barrier(
+                jnp.concatenate(
+                    [
+                        x,
+                        jnp.zeros(
+                            x.shape[:3] + (pc - self.channels,), x.dtype
+                        ),
+                    ],
+                    axis=-1,
+                )
+            )
+            kz = jnp.concatenate(
+                [
+                    kernel,
+                    jnp.zeros(
+                        kernel.shape[:3] + (pc - self.channels,),
+                        kernel.dtype,
+                    ),
+                ],
+                axis=-1,
+            )
+            y = lax.conv_general_dilated(
+                xz,
+                kz,
+                window_strides=(1, 1),
+                padding=((2, 2), (2, 2)),
+                lhs_dilation=(2, 2),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=pc,
+            )
+            return lax.optimization_barrier(y)[..., : self.channels]
         return lax.conv_general_dilated(
             x,
             kernel,

@@ -159,6 +159,43 @@ def _headconv_pallas(x, kernel, bias, k, p, band):
 
 
 def _headconv_xla(x, kernel, bias, pad):
+    import os
+
+    padc = os.environ.get("DFVO_HEAD_PAD", "0")
+    if padc not in ("0", "8", "16", "32"):
+        # fail loudly: a typo'd probe flag would silently measure the base
+        # path (ADVICE r4 convention). Read at TRACE time — cached step fns
+        # do not reflect mid-process changes.
+        raise ValueError(f"DFVO_HEAD_PAD={padc!r} not in 0|8|16|32")
+    cout = kernel.shape[3]
+    pc = int(padc)
+    if pc > cout:
+        # Probe variant: pad Cout with runtime zero channels so XLA's
+        # layout assignment sees a wider conv and stops anchoring the
+        # batch-in-lanes {0,3,2,1} layout backward into the trunk (r5
+        # ledger: tiny-Cout heads pollute the 64->32 main_2 convs). The
+        # optimization_barrier between conv and slice keeps the algebraic
+        # simplifier from folding the slice back into the kernel (which
+        # un-pads it; r2 finding). Bit-identical to the plain head.
+        kz = jnp.concatenate(
+            [
+                kernel,
+                jnp.zeros(kernel.shape[:3] + (pc - cout,), kernel.dtype),
+            ],
+            axis=3,
+        )
+        y = jax.lax.conv_general_dilated(
+            x,
+            kz.astype(x.dtype),
+            window_strides=(1, 1),
+            padding=((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        bz = jnp.concatenate(
+            [bias, jnp.zeros((pc - cout,), bias.dtype)]
+        )
+        y = jax.lax.optimization_barrier(y + bz.astype(y.dtype))
+        return y[..., :cout]
     y = jax.lax.conv_general_dilated(
         x,
         kernel.astype(x.dtype),

@@ -353,6 +353,63 @@ class TestEnvGatedVariants:
         assert base.shape == (2, 18, 26, 4)
         np.testing.assert_allclose(base, var, atol=1e-6)
 
+    @pytest.mark.parametrize("padc", ["8", "32"])
+    def test_head_pad_matches_base(self, monkeypatch, padc):
+        """DFVO_HEAD_PAD (runtime zero-padded Cout, a layout-anchor probe)
+        must be bit-identical to the plain XLA head conv."""
+        from dfvo_tpu.ops.headconv import _headconv_xla
+
+        rng = np.random.RandomState(13)
+        x = jnp.array(rng.randn(2, 10, 14, 8).astype(np.float32))
+        k = jnp.array(rng.randn(3, 3, 8, 2).astype(np.float32))
+        b = jnp.array(rng.randn(2).astype(np.float32))
+        monkeypatch.delenv("DFVO_HEAD_PAD", raising=False)
+        base = np.asarray(_headconv_xla(x, k, b, 1))
+        monkeypatch.setenv("DFVO_HEAD_PAD", padc)
+        var = np.asarray(_headconv_xla(x, k, b, 1))
+        np.testing.assert_array_equal(base, var)
+
+    def test_head_pad_unknown_value_raises(self, monkeypatch):
+        from dfvo_tpu.ops.headconv import _headconv_xla
+
+        x = jnp.zeros((1, 6, 6, 4), jnp.float32)
+        k = jnp.zeros((3, 3, 4, 2), jnp.float32)
+        b = jnp.zeros((2,), jnp.float32)
+        monkeypatch.setenv("DFVO_HEAD_PAD", "7")  # typo'd probe
+        with pytest.raises(ValueError, match="DFVO_HEAD_PAD"):
+            _headconv_xla(x, k, b, 1)
+
+    @pytest.mark.parametrize("padc", ["8", "16"])
+    def test_deconv_pad_matches_base(self, monkeypatch, padc):
+        """DFVO_DECONV_PAD (runtime zero-padded depthwise channels) must be
+        bit-identical to the plain depthwise deconv, and must not touch
+        deconvs already wider than the pad (upcorr, channels=49)."""
+        import jax
+
+        from dfvo_tpu.models.liteflownet import _DepthwiseDeconv2x
+
+        rng = np.random.RandomState(17)
+        x = jnp.array(rng.randn(2, 9, 13, 2).astype(np.float32))
+        mod = _DepthwiseDeconv2x(2)
+        params = mod.init(jax.random.PRNGKey(0), x)
+        monkeypatch.delenv("DFVO_DECONV_PAD", raising=False)
+        base = np.asarray(mod.apply(params, x))
+        monkeypatch.setenv("DFVO_DECONV_PAD", padc)
+        var = np.asarray(mod.apply(params, x))
+        np.testing.assert_array_equal(base, var)
+
+    def test_deconv_pad_unknown_value_raises(self, monkeypatch):
+        import jax
+
+        from dfvo_tpu.models.liteflownet import _DepthwiseDeconv2x
+
+        x = jnp.zeros((1, 4, 4, 2), jnp.float32)
+        mod = _DepthwiseDeconv2x(2)
+        params = mod.init(jax.random.PRNGKey(0), x)
+        monkeypatch.setenv("DFVO_DECONV_PAD", "9")
+        with pytest.raises(ValueError, match="DFVO_DECONV_PAD"):
+            mod.apply(params, x)
+
     def test_frame_ids_match_materialized_pairing(self):
         """grid_sample(unique_src, coords, frame_ids=ids) must be bitwise
         identical to grid_sample(src[ids], coords) — the unique-frame

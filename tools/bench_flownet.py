@@ -57,6 +57,11 @@ VARIANTS = {
     "img_stack": {"DFVO_WARP_BUILD_SMALLC": "stack"},
     "img_pre_t": {"DFVO_WARP_BUILD_SMALLC": "pre_t"},
     "img_xonly": {"DFVO_WARP_BUILD_SMALLC": "xonly"},
+    "head_pad8": {"DFVO_HEAD_PAD": "8"},
+    "head_pad32": {"DFVO_HEAD_PAD": "32"},
+    "deconv_pad8": {"DFVO_DECONV_PAD": "8"},
+    "hp8+dp8": {"DFVO_HEAD_PAD": "8", "DFVO_DECONV_PAD": "8"},
+    "hp32+dp16": {"DFVO_HEAD_PAD": "32", "DFVO_DECONV_PAD": "16"},
 }
 _ALL_FLAGS = sorted({k for v in VARIANTS.values() for k in v})
 
