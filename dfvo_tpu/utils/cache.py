@@ -18,6 +18,13 @@ suite runs several pytest-xdist workers against one cache directory):
   cache miss when decompression/deserialization raises, so an entry that
   was corrupted by an earlier crash or kill heals itself instead of
   failing every subsequent run.
+* ``put_executable_and_time`` serializes + compresses the executable
+  (seconds of CPU per big program, and ``executable.serialize()`` has
+  been observed to SEGFAULT rarely on this XLA:CPU build) *before* the
+  LRUCache.put existence check; ``_skipping_put`` checks for an existing
+  entry first and returns without serializing when another worker/run
+  already persisted the program — faster warm test suites and fewer
+  trips through the flaky native serializer.
 """
 
 import logging
@@ -107,6 +114,23 @@ def _patch_cache_concurrency():
             return None, None
 
     _cc.get_executable_and_time = _healing_get
+
+    _orig_put_exec = _cc.put_executable_and_time
+
+    def _skipping_put(cache_key, module_name, executable, backend,
+                      compile_time):
+        cache = _cc._get_cache(backend)
+        path = getattr(cache, "path", None)
+        if path is not None:
+            from jax._src import lru_cache as _lru
+
+            if (path / f"{cache_key}{_lru._CACHE_SUFFIX}").exists():
+                return  # already persisted by another worker/run
+        return _orig_put_exec(
+            cache_key, module_name, executable, backend, compile_time
+        )
+
+    _cc.put_executable_and_time = _skipping_put
     # compiler.py resolves the function through the module attribute at
     # call time (compilation_cache.get_executable_and_time), so patching
     # the compilation_cache module suffices; patch the compiler's module

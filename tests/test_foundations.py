@@ -157,3 +157,20 @@ def test_compilation_cache_atomic_put_and_healing_get(tmp_path):
     out = cc.get_executable_and_time(key, None, backend, jax.devices()[:1])
     assert out == (None, None)
     assert cache.get(key) is None, "corrupt entry should be evicted"
+
+    # put_executable_and_time must not re-serialize a program another
+    # worker already persisted: executable.serialize() costs seconds per
+    # big program and has been observed to segfault rarely on this
+    # XLA:CPU build, so the skip-if-present check runs FIRST.
+    class _Boom:
+        def serialize(self):
+            raise AssertionError("serialize called despite existing entry")
+
+    key2 = f"dfvo-test-present-{os.getpid()}"
+    cache.put(key2, b"already persisted")
+    cc.put_executable_and_time(key2, "m", _Boom(), backend, 5)  # no raise
+    with pytest.raises(Exception):
+        # missing entry delegates to the real writer, which serializes
+        cc.put_executable_and_time(
+            f"dfvo-test-absent-{os.getpid()}", "m", _Boom(), backend, 5
+        )
