@@ -296,7 +296,13 @@ def _main_with_retry(attempts=3, delay_s=120):
         except Exception as e:  # noqa: BLE001 - surface after retries
             transient = any(
                 s in str(e)
-                for s in ("remote_compile", "UNAVAILABLE", "DEADLINE_EXCEEDED")
+                for s in (
+                    "remote_compile",
+                    "UNAVAILABLE",
+                    "Unavailable",
+                    "DEADLINE_EXCEEDED",
+                    "Unable to initialize backend",
+                )
             )
             if not transient or i == attempts - 1:
                 raise
@@ -306,6 +312,14 @@ def _main_with_retry(attempts=3, delay_s=120):
                 flush=True,
             )
             time.sleep(delay_s)
+            # a failed backend INIT is cached for the process — drop the
+            # cached failure so the retry actually re-dials the tunnel
+            try:
+                from jax.extend.backend import clear_backends
+
+                clear_backends()
+            except Exception:  # noqa: BLE001 - best-effort cache clear
+                pass
 
 
 if __name__ == "__main__":

@@ -47,6 +47,60 @@ def _trunk_barrier(x):
     return x
 
 
+class _MMConv(nn.Module):
+    """3x3 stride-1 SAME conv expressed as 9 shifted-slice matmuls.
+
+    Same parameter names/shapes as nn.Conv (kernel [3,3,Cin,Cout], bias
+    [Cout]) so the torch weight converter is untouched. Probe variant
+    (DFVO_TRUNK_MM) for the small-Cout trunk convs that XLA's conv emitter
+    runs at 3-6% MXU under a batch-in-lanes {0,3,2,1} layout (r5mid
+    ledger): einsum lowers to dot_general, which never receives that
+    layout assignment. Accumulates the 9 taps in f32 and rounds once —
+    numerically equivalent to the conv's single f32 accumulation up to
+    reduction order (parity-tested in tests/test_geometry.py).
+    """
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, cin, self.features),
+        )
+        h, w = x.shape[1], x.shape[2]
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        k = kernel.astype(x.dtype)
+        out = None
+        for dy in range(3):
+            for dx in range(3):
+                t = jnp.einsum(
+                    "nhwc,cf->nhwf",
+                    xp[:, dy : dy + h, dx : dx + w, :],
+                    k[dy, dx],
+                    preferred_element_type=jnp.float32,
+                )
+                out = t if out is None else out + t
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,)
+            )
+            out = out + bias.astype(jnp.float32)
+        return out.astype(x.dtype)
+
+
+def _trunk_mm_threshold():
+    import os
+
+    v = os.environ.get("DFVO_TRUNK_MM", "0")
+    if v not in ("0", "32", "64"):
+        raise ValueError(f"DFVO_TRUNK_MM={v!r} not in 0|32|64")
+    return int(v)
+
+
 def _conv(features, kernel, stride=1, name=None, use_bias=True):
     pad = (kernel - 1) // 2
     if features <= 4 and stride == 1:
@@ -60,6 +114,12 @@ def _conv(features, kernel, stride=1, name=None, use_bias=True):
             use_bias=use_bias,
             name=name,
         )
+    if (
+        kernel == 3
+        and stride == 1
+        and features <= _trunk_mm_threshold()
+    ):
+        return _MMConv(features, use_bias=use_bias, name=name)
     return nn.Conv(
         features,
         (kernel, kernel),

@@ -410,6 +410,47 @@ class TestEnvGatedVariants:
         with pytest.raises(ValueError, match="DFVO_DECONV_PAD"):
             mod.apply(params, x)
 
+    @pytest.mark.parametrize("thr", ["32", "64"])
+    def test_trunk_mm_matches_conv(self, monkeypatch, thr):
+        """DFVO_TRUNK_MM (3x3 trunk conv as 9 shifted matmuls) must match
+        nn.Conv on the same params; only Cout <= threshold convs reroute
+        (param names/shapes are identical, so the same variables apply)."""
+        import jax
+
+        from dfvo_tpu.models.liteflownet import _conv
+
+        class Wrap:
+            def __init__(self, features):
+                import flax.linen as nn
+
+                class M(nn.Module):
+                    @nn.compact
+                    def __call__(self, x):
+                        return _conv(features, 3, name="c")(x)
+
+                self.mod = M()
+
+        rng = np.random.RandomState(23)
+        x = jnp.array(rng.randn(2, 10, 14, 8).astype(np.float32))
+        for cout in (32, 64):
+            monkeypatch.delenv("DFVO_TRUNK_MM", raising=False)
+            base_mod = Wrap(cout).mod
+            params = base_mod.init(jax.random.PRNGKey(0), x)
+            base = np.asarray(base_mod.apply(params, x))
+            monkeypatch.setenv("DFVO_TRUNK_MM", thr)
+            var_mod = Wrap(cout).mod
+            var = np.asarray(var_mod.apply(params, x))
+            # f32 on CPU: reduction order differs (9 partial f32 sums vs
+            # one conv accumulation) — tight tolerance, not bitwise
+            np.testing.assert_allclose(base, var, rtol=2e-5, atol=2e-5)
+
+    def test_trunk_mm_unknown_value_raises(self, monkeypatch):
+        from dfvo_tpu.models.liteflownet import _trunk_mm_threshold
+
+        monkeypatch.setenv("DFVO_TRUNK_MM", "16")  # unsupported threshold
+        with pytest.raises(ValueError, match="DFVO_TRUNK_MM"):
+            _trunk_mm_threshold()
+
     def test_frame_ids_match_materialized_pairing(self):
         """grid_sample(unique_src, coords, frame_ids=ids) must be bitwise
         identical to grid_sample(src[ids], coords) — the unique-frame

@@ -57,6 +57,8 @@ VARIANTS = {
     "img_stack": {"DFVO_WARP_BUILD_SMALLC": "stack"},
     "img_pre_t": {"DFVO_WARP_BUILD_SMALLC": "pre_t"},
     "img_xonly": {"DFVO_WARP_BUILD_SMALLC": "xonly"},
+    "trunk_mm32": {"DFVO_TRUNK_MM": "32"},
+    "trunk_mm64": {"DFVO_TRUNK_MM": "64"},
     "head_pad8": {"DFVO_HEAD_PAD": "8"},
     "head_pad32": {"DFVO_HEAD_PAD": "32"},
     "deconv_pad8": {"DFVO_DECONV_PAD": "8"},
